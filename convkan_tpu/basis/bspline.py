@@ -1,0 +1,52 @@
+"""Cox–de Boor B-spline basis (the classic Liu-et-al KAN basis).
+
+Reproduces the reference recurrence (layers/kan_layers.py:203-237 for convs,
+:57-103 for the MLP layer): a degree-0 half-open-interval indicator followed
+by `spline_order` rational blending steps over a uniform extended grid of
+`grid_size + 2*spline_order + 1` knots spanning
+[lo - h*order, hi + h*order], h = (hi - lo)/grid_size.
+
+The recurrence after `spline_order` steps yields
+`grid_size + spline_order` basis functions — the reference's defensive
+pad/truncate (kan_layers.py:96-103) is unreachable for a uniform grid and is
+not replicated.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def make_bspline_grid(grid_size: int, spline_order: int, grid_range=(-1.0, 1.0)):
+    """The extended uniform knot vector as a static numpy array."""
+    lo, hi = float(grid_range[0]), float(grid_range[1])
+    h = (hi - lo) / grid_size
+    n = grid_size + 2 * spline_order + 1
+    return np.linspace(lo - h * spline_order, hi + h * spline_order, n, dtype=np.float32)
+
+
+def bspline_basis(x, grid, spline_order: int):
+    """x: any shape; grid: (n_knots,) knot vector.
+
+    Returns (..., grid_size + spline_order) basis values.  Degree-0 bases use
+    the half-open indicator (x >= g_i) & (x < g_{i+1}) exactly as
+    kan_layers.py:209, so inputs outside the extended grid produce all-zero
+    spline contributions (a documented reference quirk).
+    """
+    grid = jnp.asarray(grid, dtype=x.dtype)
+    xe = x[..., None]
+    bases = ((xe >= grid[:-1]) & (xe < grid[1:])).astype(x.dtype)
+    for k in range(1, spline_order + 1):
+        left = grid[: -(k + 1)]
+        right = grid[k:-1]
+        g_rs = grid[k + 1 :]
+        g_ls = grid[1:-k]
+        dr = right - left
+        dd = g_rs - g_ls
+        dr = jnp.where(dr == 0, jnp.ones_like(dr), dr)
+        dd = jnp.where(dd == 0, jnp.ones_like(dd), dd)
+        t1 = (xe - left) / dr * bases[..., :-1]
+        t2 = (g_rs - xe) / dd * bases[..., 1:]
+        bases = t1 + t2
+    return bases

@@ -1,0 +1,16 @@
+"""Fourier feature basis: [cos(kx) for k=1..G] ++ [sin(kx) for k=1..G].
+
+Reproduces layers/fourier_kan_layers.py:163-187 — cos block first, then sin
+block, concatenated on the basis axis (so the per-channel inner order is
+cos_1..cos_G, sin_1..sin_G).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def fourier_basis(x, grid_size: int):
+    k = jnp.arange(1, grid_size + 1, dtype=x.dtype)
+    kx = x[..., None] * k
+    return jnp.concatenate([jnp.cos(kx), jnp.sin(kx)], axis=-1)

@@ -1,0 +1,543 @@
+"""Generic KAN convolution for TPU.
+
+One module implements all 16 non-wavelet conv families (WavKAN lives in
+wav_conv.py).  The reference implements each family as a copy-pasted class
+with a Python loop over per-group conv modules (e.g. layers/kan_layers.py:
+116-258); here the shared skeleton —
+
+    split groups -> base conv path -> basis expansion -> basis conv path
+    -> add -> norm -> activation -> dropout
+
+— is a single code path parameterized by a declarative `ConvFamily` spec,
+and groups execute as ONE grouped XLA conv (feature_group_count) instead of
+a loop.  Activations are channel-last (NHWC / NDHWC); weights are HWIO with
+the group axis folded into O.
+
+Per-family deviations of the reference (no base path for ChebyKAN, input
+normalization for FastKAN, batch-min-max squash for LegendreKAN, degree- vs
+channel-major basis layout, dropout placement, init distributions) are
+encoded in FAMILY specs below, each citing the reference lines it matches.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Mapping, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..basis import (
+    bernstein_basis,
+    bessel_basis,
+    bspline_basis,
+    chebyshev_basis,
+    fibonacci_basis,
+    fourier_basis,
+    gegenbauer_basis,
+    gram_basis,
+    hermite_basis,
+    jacobi_basis,
+    laguerre_basis,
+    legendre_basis,
+    lucas_basis,
+    relukan_basis,
+    taylor_basis,
+)
+from ..basis.bspline import make_bspline_grid
+from ..basis.relukan import default_phases
+from ..basis.rbf import make_rbf_grid, rbf_basis
+from ..ops.conv import conv_nd
+from ..utils import activations as act_lib
+from ..utils import initializers as init_lib
+from ..utils.norms import InstanceNorm, make_norm
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvFamily:
+    """Static description of one KAN conv family's deviations from the
+    shared skeleton."""
+
+    name: str
+    has_base: bool = True
+    base_input: str = "act"        # 'act' (conv(act(x))) or 'raw' (conv(x))
+    squash: str = "tanh"           # 'none'|'tanh'|'sigmoid'|'batch_minmax'|'intrinsic'
+    layout: str = "channel_major"  # basis channel ordering within a group
+    post: str = "prelu"            # 'prelu'|'act'|'none' applied after norm
+    norm_on: str = "output"        # 'output' | 'input' (FastKAN) | 'none'
+    dropout_site: str = "output"   # 'output'|'basis_input'|'basis'|'input'|'rbf_input'
+    basis_act: bool = False        # GRAM: basis = act(basis) before conv
+    poly_init: str = "ku_linear"   # 'ku_linear'|'ku_5d'|'normal_full'|'kn_relu'
+    default_base_activation: str = "gelu"
+
+
+# Reference citations:
+#   KAN        layers/kan_layers.py:116-258
+#   FastKAN    layers/fast_kan_layers.py:34-120
+#   ChebyKAN   layers/cheby_kan_layers.py:39-111
+#   Legendre   layers/legendre_kan_layers.py:52-163
+#   GRAM       layers/gram_kan_layers.py:85-199
+#   Jacobi     layers/jacobi_kan_layers.py:57-177
+#   Bernstein  layers/bersnstein_kan_layers.py:63-179
+#   Bessel     layers/bessel_kan_layers.py:38-172
+#   Fibonacci  layers/fibonacci_kan_layers.py:41-203
+#   Fourier    layers/fourier_kan_layers.py:67-212
+#   Gegenbauer layers/gegenbauer_kan_layers.py:34-183
+#   Hermite    layers/hermite_kan_layers.py:30-164
+#   Laguerre   layers/laguerre_kan_layers.py:38-184
+#   Lucas      layers/lucas_kan_layers.py:40-203
+#   Taylor     layers/taylor_kan_layers.py:40-176
+#   ReLUKAN    layers/relu_kan_layers.py:41-146
+FAMILIES: dict[str, ConvFamily] = {
+    "kan": ConvFamily("kan", squash="intrinsic", post="prelu",
+                      default_base_activation="gelu"),
+    "fastkan": ConvFamily("fastkan", squash="intrinsic", post="none",
+                          norm_on="input", dropout_site="rbf_input",
+                          default_base_activation="silu"),
+    "cheby": ConvFamily("cheby", has_base=False, squash="intrinsic",
+                        post="none", poly_init="kn_relu"),
+    "legendre": ConvFamily("legendre", base_input="raw", squash="batch_minmax",
+                           layout="degree_major", post="act",
+                           dropout_site="basis_input", poly_init="ku_5d",
+                           default_base_activation="silu"),
+    "gram": ConvFamily("gram", base_input="act", squash="tanh",
+                       layout="degree_major", post="act",
+                       dropout_site="basis_input", basis_act=True,
+                       poly_init="ku_5d", default_base_activation="silu"),
+    "jacobi": ConvFamily("jacobi", base_input="raw", squash="tanh",
+                         layout="degree_major", post="act",
+                         dropout_site="basis", poly_init="normal_full",
+                         default_base_activation="silu"),
+    "bernstein": ConvFamily("bernstein", base_input="raw", squash="sigmoid",
+                            layout="channel_major", post="act",
+                            dropout_site="basis_input", poly_init="ku_5d",
+                            default_base_activation="silu"),
+    "bessel": ConvFamily("bessel", post="prelu"),
+    "fibonacci": ConvFamily("fibonacci", post="prelu"),
+    "fourier": ConvFamily("fourier", squash="intrinsic", post="prelu"),
+    "gegenbauer": ConvFamily("gegenbauer", post="prelu"),
+    "hermite": ConvFamily("hermite", post="prelu"),
+    "laguerre": ConvFamily("laguerre", post="prelu"),
+    "lucas": ConvFamily("lucas", post="prelu"),
+    "taylor": ConvFamily("taylor", post="prelu"),
+    "relukan": ConvFamily("relukan", squash="intrinsic", post="act",
+                          dropout_site="input",
+                          default_base_activation="silu"),
+}
+
+
+def _kprod(kernel_size, ndim):
+    if isinstance(kernel_size, (tuple, list)):
+        p = 1
+        for k in kernel_size:
+            p *= int(k)
+        return p
+    return int(kernel_size) ** ndim
+
+
+class KanConvND(nn.Module):
+    """All-family KAN convolution (channel-last).
+
+    Args mirror the reference ctor vocabulary (input_dim/output_dim,
+    kernel_size, groups, padding, stride, dilation, dropout, norm_layer,
+    base_activation + family hyperparameters).
+    """
+
+    family: str
+    input_dim: int
+    output_dim: int
+    kernel_size: Union[int, Tuple[int, ...]]
+    ndim: int = 2
+    groups: int = 1
+    padding: Union[int, Tuple[int, ...]] = 0
+    stride: Union[int, Tuple[int, ...]] = 1
+    dilation: Union[int, Tuple[int, ...]] = 1
+    dropout: float = 0.0
+    norm_layer: Any = InstanceNorm
+    norm_kwargs: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+    base_activation: Any = "__default__"
+    # spline-family hyperparams
+    grid_size: int = 5
+    spline_order: int = 3
+    grid_range: Tuple[float, float] = (-1.0, 1.0)
+    # polynomial-family hyperparams
+    degree: int = 3
+    alpha_param: float = 0.0   # gegenbauer
+    alpha: float = 1.0         # laguerre
+    a: float = 1.0             # jacobi
+    b: float = 1.0             # jacobi
+    epsilon: float = 1e-7      # cheby clamp
+    # relukan hyperparams
+    g: int = 5
+    k: int = 3
+    train_ab: bool = True
+    param_dtype: Any = jnp.float32
+
+    @property
+    def spec(self) -> ConvFamily:
+        return FAMILIES[self.family]
+
+    @property
+    def in_g(self) -> int:
+        return self.input_dim // self.groups
+
+    @property
+    def out_g(self) -> int:
+        return self.output_dim // self.groups
+
+    @property
+    def num_basis(self) -> int:
+        f = self.family
+        if f == "kan":
+            return self.grid_size + self.spline_order
+        if f == "fastkan":
+            return self.grid_size
+        if f == "fourier":
+            return 2 * self.grid_size
+        if f == "relukan":
+            return self.g + self.k
+        if f == "taylor":
+            return self.degree
+        return self.degree + 1
+
+    def _act(self):
+        if self.base_activation == "__default__":
+            return act_lib.ACTIVATIONS[self.spec.default_base_activation]
+        fn = act_lib.resolve_activation(self.base_activation)
+        return fn if fn is not None else (lambda x: x)
+
+    # ---------------------------------------------------------- params
+    def _poly_initializer(self):
+        spec = self.spec
+        kp = _kprod(self.kernel_size, self.ndim)
+        K = self.num_basis
+        if spec.poly_init == "ku_linear":
+            return init_lib.kaiming_uniform("linear", layout="conv_hwio")
+        if spec.poly_init == "ku_5d":
+            # reference keeps one 5D tensor (groups, out_g, in_g*K, *k) and
+            # kaiming_uniform's over it: fan_in = out_g * in_g*K*kprod
+            # (legendre_kan_layers.py:99-108)
+            fan_in = self.out_g * self.in_g * K * kp
+            bound = math.sqrt(3.0 / fan_in)
+            return init_lib.uniform(-bound, bound)
+        if spec.poly_init == "normal_full":
+            # jacobi_kan_layers.py:115 — std uses the FULL input_dim
+            std = 1.0 / (self.input_dim * (self.degree + 1) * kp)
+            return init_lib.normal(0.0, std)
+        if spec.poly_init == "kn_relu":
+            # cheby_kan_layers.py:89-90 — double init, kaiming_normal wins
+            return init_lib.kaiming_normal("relu", layout="conv_hwio")
+        raise ValueError(spec.poly_init)
+
+    # ---------------------------------------------------------- helpers
+    def _channel_dropout(self, x, train: bool, rate: Optional[float] = None):
+        """torch DropoutNd parity: drop whole channels per sample."""
+        rate = self.dropout if rate is None else rate
+        if rate <= 0.0:
+            return x
+        spatial = tuple(range(1, x.ndim - 1))
+        return nn.Dropout(rate=rate, broadcast_dims=spatial)(
+            x, deterministic=not train
+        )
+
+    def _grouped_minmax_squash(self, x):
+        """2(x - min)/(max - min) - 1 with min/max over the whole per-group
+        slice including batch (legendre_kan_layers.py:130)."""
+        B = x.shape[0]
+        spatial = x.shape[1:-1]
+        xg = x.reshape((B,) + spatial + (self.groups, self.in_g))
+        axes = tuple(i for i in range(xg.ndim) if i != xg.ndim - 2)
+        mn = jnp.min(xg, axis=axes, keepdims=True)
+        mx = jnp.max(xg, axis=axes, keepdims=True)
+        xg = 2.0 * (xg - mn) / (mx - mn) - 1.0
+        return xg.reshape(x.shape)
+
+    def _expand(self, x, beta=None):
+        """Per-channel basis expansion -> (..., C, K)."""
+        f = self.family
+        if f == "kan":
+            grid = make_bspline_grid(self.grid_size, self.spline_order,
+                                     self.grid_range)
+            return bspline_basis(x, grid, self.spline_order)
+        if f == "fastkan":
+            grid = make_rbf_grid(self.grid_range[0], self.grid_range[1],
+                                 self.grid_size)
+            denom = (self.grid_range[1] - self.grid_range[0]) / (self.grid_size - 1)
+            return rbf_basis(x, grid, denom)
+        if f == "cheby":
+            return chebyshev_basis(x, self.degree, self.epsilon)
+        if f == "legendre":
+            return legendre_basis(x, self.degree)
+        if f == "gram":
+            return gram_basis(x, self.degree, beta)
+        if f == "jacobi":
+            return jacobi_basis(x, self.degree, self.a, self.b)
+        if f == "bernstein":
+            return bernstein_basis(x, self.degree)
+        if f == "bessel":
+            return bessel_basis(x, self.degree)
+        if f == "fibonacci":
+            return fibonacci_basis(x, self.degree)
+        if f == "fourier":
+            return fourier_basis(x, self.grid_size)
+        if f == "gegenbauer":
+            return gegenbauer_basis(x, self.degree, self.alpha_param)
+        if f == "hermite":
+            return hermite_basis(x, self.degree)
+        if f == "laguerre":
+            return laguerre_basis(x, self.degree, self.alpha)
+        if f == "lucas":
+            return lucas_basis(x, self.degree)
+        if f == "taylor":
+            return taylor_basis(jnp.tanh(x), self.degree)
+        raise ValueError(f)
+
+    def _flatten_basis(self, basis):
+        """(B, *S, C, K) -> (B, *S, G * in_g*K) group-major, with the
+        reference's per-family intra-group ordering."""
+        B = basis.shape[0]
+        spatial = basis.shape[1:-2]
+        K = basis.shape[-1]
+        bg = basis.reshape((B,) + spatial + (self.groups, self.in_g, K))
+        if self.spec.layout == "degree_major":
+            # torch.concatenate([P0, P1, ...], dim=1): degree outer, channel
+            # inner (legendre_kan_layers.py:124)
+            bg = jnp.swapaxes(bg, -1, -2)
+        return bg.reshape((B,) + spatial + (self.groups * self.in_g * K,))
+
+    # ---------------------------------------------------------- forward
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        spec = self.spec
+        assert x.shape[-1] == self.input_dim, (
+            f"expected {self.input_dim} channels (NHWC), got {x.shape}"
+        )
+        if self.groups <= 0:
+            raise ValueError("groups must be a positive integer")
+        if self.input_dim % self.groups or self.output_dim % self.groups:
+            raise ValueError("input_dim/output_dim must be divisible by groups")
+
+        act = self._act()
+        ks = self.kernel_size
+        kshape = tuple(ks) if isinstance(ks, (tuple, list)) else (ks,) * self.ndim
+        K = self.num_basis
+
+        conv_kwargs = dict(
+            ndim=self.ndim,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+        )
+
+        # relukan applies dropout to the raw input, affecting both paths
+        # (relu_kan_layers.py:118-123)
+        if spec.dropout_site == "input" and train:
+            x = self._channel_dropout(x, train)
+
+        # ---------------- base path
+        base_out = None
+        if spec.has_base:
+            base_w = self.param(
+                "base_w",
+                init_lib.kaiming_uniform("linear", layout="conv_hwio"),
+                kshape + (self.in_g, self.output_dim),
+                self.param_dtype,
+            )
+            base_in = act(x) if spec.base_input == "act" else x
+            base_out = conv_nd(base_in, base_w, **conv_kwargs)
+
+        # ---------------- basis path
+        beta = None
+        if self.family == "gram":
+            beta = self.param(
+                "beta_weights",
+                init_lib.normal(
+                    0.0,
+                    1.0
+                    / (
+                        _kprod(self.kernel_size, self.ndim)
+                        * self.input_dim
+                        * (self.degree + 1.0)
+                    ),
+                ),
+                (self.degree + 1,),
+                self.param_dtype,
+            )
+
+        t = x
+        if spec.squash == "tanh":
+            t = jnp.tanh(x)
+        elif spec.squash == "sigmoid":
+            t = jax.nn.sigmoid(x)
+        elif spec.squash == "batch_minmax":
+            t = self._grouped_minmax_squash(x)
+
+        if spec.dropout_site == "basis_input" and train:
+            t = self._channel_dropout(t, train)
+
+        if self.family == "fastkan":
+            # dropout on x, then per-group input norm, then RBF
+            # (fast_kan_layers.py:100-108)
+            if train:
+                t = self._channel_dropout(t, train)
+            input_norm = make_norm(
+                self.norm_layer, self.input_dim, **dict(self.norm_kwargs)
+            )
+            t = input_norm(t, train=train)
+
+        if self.family == "relukan":
+            low0, high0 = default_phases(self.g, self.k)
+            shape = (self.in_g, self.g + self.k)
+            if self.train_ab:
+                phase_low = self.param(
+                    "phase_low",
+                    lambda key, s: jnp.broadcast_to(jnp.asarray(low0), s).astype(
+                        self.param_dtype
+                    ),
+                    shape,
+                )
+                phase_high = self.param(
+                    "phase_high",
+                    lambda key, s: jnp.broadcast_to(jnp.asarray(high0), s).astype(
+                        self.param_dtype
+                    ),
+                    shape,
+                )
+            else:
+                phase_low = jnp.broadcast_to(jnp.asarray(low0), shape)
+                phase_high = jnp.broadcast_to(jnp.asarray(high0), shape)
+            # phases are per in-group channel, shared across groups
+            # (relu_kan_layers.py:99-105)
+            pl = jnp.tile(phase_low, (self.groups, 1))
+            ph = jnp.tile(phase_high, (self.groups, 1))
+            basis = relukan_basis(t, pl, ph, self.g, self.k)
+        else:
+            basis = self._expand(t, beta=beta)
+
+        if spec.basis_act:
+            basis = act(basis)
+
+        if spec.dropout_site == "basis" and train:
+            # jacobi: Dropout2d over the expanded (C*(deg+1)) channels
+            # (jacobi_kan_layers.py:148-149)
+            B = basis.shape[0]
+            spatial = basis.shape[1:-2]
+            flat = basis.reshape((B,) + spatial + (basis.shape[-2] * basis.shape[-1],))
+            flat = self._channel_dropout(flat, train)
+            basis = flat.reshape(basis.shape)
+
+        basis_flat = self._flatten_basis(basis)
+        poly_w = self.param(
+            "poly_w",
+            self._poly_initializer(),
+            kshape + (self.in_g * K, self.output_dim),
+            self.param_dtype,
+        )
+        spline_out = conv_nd(basis_flat, poly_w, **conv_kwargs)
+
+        y = spline_out if base_out is None else base_out + spline_out
+
+        # ---------------- post-combine
+        if spec.norm_on == "output":
+            norm = make_norm(self.norm_layer, self.output_dim,
+                             **dict(self.norm_kwargs))
+            y = norm(y, train=train)
+
+        if spec.post == "prelu":
+            alpha = self.param(
+                "prelu", init_lib.constant(0.25), (self.groups,), self.param_dtype
+            )
+            # per-group scalar slope (reference keeps one nn.PReLU per group,
+            # kan_layers.py:182)
+            slope = jnp.repeat(alpha, self.out_g)
+            y = jnp.where(y >= 0, y, slope * y)
+        elif spec.post == "act":
+            y = act(y)
+
+        if spec.dropout_site == "output" and train:
+            y = self._channel_dropout(y, train)
+        return y
+
+
+def make_kan_conv(family: str, ndim: int, **kwargs) -> KanConvND:
+    return KanConvND(family=family, ndim=ndim, **kwargs)
+
+
+# Reference-named convenience constructors (KANConv2DLayer etc.).  These are
+# functions returning configured modules — TPU-side we favour composition
+# over 3x17 subclasses.
+_FAMILY_CTOR_DEFAULTS = {
+    # fast_kan_layers.py:137-148: grid_size=8, grid_range=[-2, 2]
+    "fastkan": dict(grid_size=8, grid_range=(-2.0, 2.0)),
+}
+
+
+def _named(family: str, ndim: int):
+    def ctor(input_dim, output_dim, kernel_size, **kwargs):
+        kwargs.setdefault("norm_layer", InstanceNorm)
+        for k, v in _FAMILY_CTOR_DEFAULTS.get(family, {}).items():
+            kwargs.setdefault(k, v)
+        return KanConvND(
+            family=family,
+            input_dim=input_dim,
+            output_dim=output_dim,
+            kernel_size=kernel_size,
+            ndim=ndim,
+            **kwargs,
+        )
+
+    ctor.__name__ = f"{family}_conv{ndim}d"
+    return ctor
+
+
+KANConv1DLayer = _named("kan", 1)
+KANConv2DLayer = _named("kan", 2)
+KANConv3DLayer = _named("kan", 3)
+FastKANConv1DLayer = _named("fastkan", 1)
+FastKANConv2DLayer = _named("fastkan", 2)
+FastKANConv3DLayer = _named("fastkan", 3)
+ChebyKANConv1DLayer = _named("cheby", 1)
+ChebyKANConv2DLayer = _named("cheby", 2)
+ChebyKANConv3DLayer = _named("cheby", 3)
+LegendreKANConv1DLayer = _named("legendre", 1)
+LegendreKANConv2DLayer = _named("legendre", 2)
+LegendreKANConv3DLayer = _named("legendre", 3)
+GRAMKANConv1DLayer = _named("gram", 1)
+GRAMKANConv2DLayer = _named("gram", 2)
+GRAMKANConv3DLayer = _named("gram", 3)
+JacobiKANConv1DLayer = _named("jacobi", 1)
+JacobiKANConv2DLayer = _named("jacobi", 2)
+JacobiKANConv3DLayer = _named("jacobi", 3)
+BersnsteinKANConv1DLayer = _named("bernstein", 1)
+BersnsteinKANConv2DLayer = _named("bernstein", 2)
+BersnsteinKANConv3DLayer = _named("bernstein", 3)
+BesselKANConv1DLayer = _named("bessel", 1)
+BesselKANConv2DLayer = _named("bessel", 2)
+BesselKANConv3DLayer = _named("bessel", 3)
+FibonacciKANConv1DLayer = _named("fibonacci", 1)
+FibonacciKANConv2DLayer = _named("fibonacci", 2)
+FibonacciKANConv3DLayer = _named("fibonacci", 3)
+FourierKANConv1DLayer = _named("fourier", 1)
+FourierKANConv2DLayer = _named("fourier", 2)
+FourierKANConv3DLayer = _named("fourier", 3)
+GegenbauerKANConv1DLayer = _named("gegenbauer", 1)
+GegenbauerKANConv2DLayer = _named("gegenbauer", 2)
+GegenbauerKANConv3DLayer = _named("gegenbauer", 3)
+HermiteKANConv1DLayer = _named("hermite", 1)
+HermiteKANConv2DLayer = _named("hermite", 2)
+HermiteKANConv3DLayer = _named("hermite", 3)
+LaguerreKANConv1DLayer = _named("laguerre", 1)
+LaguerreKANConv2DLayer = _named("laguerre", 2)
+LaguerreKANConv3DLayer = _named("laguerre", 3)
+LucasKANConv1DLayer = _named("lucas", 1)
+LucasKANConv2DLayer = _named("lucas", 2)
+LucasKANConv3DLayer = _named("lucas", 3)
+ReLUKANConv1DLayer = _named("relukan", 1)
+ReLUKANConv2DLayer = _named("relukan", 2)
+ReLUKANConv3DLayer = _named("relukan", 3)
+TaylorKANConv1DLayer = _named("taylor", 1)
+TaylorKANConv2DLayer = _named("taylor", 2)
+TaylorKANConv3DLayer = _named("taylor", 3)

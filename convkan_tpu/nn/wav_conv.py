@@ -1,0 +1,149 @@
+"""WavKAN convolutions for TPU.
+
+The reference ships three wavelet-conv engines (layers/wav_kan_layers.py):
+  * 'base'          — out_dim separate (in->1) convs + 1x1 mix (:113-218)
+  * 'fast'          — one grouped conv over flattened (out*in) channels
+                      (:285-338)
+  * 'fast_plus_one' — a (d+1)-dim conv whose extra kernel dim spans the
+                      input channels (:221-282)
+
+All three compute the SAME contraction
+    y[b, o] = sum_i  K_{o,i} (*) psi((x[b, i] - t[o,i]) / s[o,i])
+with identical init distributions (kaiming_uniform 'linear', fan_in =
+in_g * prod(k)) — they differ only in torch parameter bookkeeping.  We
+implement the one true math as a single grouped XLA conv with
+feature_group_count = groups * out_g and keep `wav_version` for API/
+checkpoint parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Mapping, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..basis.wavelet import WAVELET_TYPES, wavelet
+from ..ops.conv import conv_nd
+from ..utils import initializers as init_lib
+from ..utils.norms import BatchNorm, make_norm
+
+
+class WavKANConvND(nn.Module):
+    """WavKAN conv layer (channel-last).  Reference:
+    layers/wav_kan_layers.py:341-456 (+ engines above)."""
+
+    input_dim: int
+    output_dim: int
+    kernel_size: Union[int, Tuple[int, ...]]
+    ndim: int = 2
+    groups: int = 1
+    padding: Union[int, Tuple[int, ...]] = 0
+    stride: Union[int, Tuple[int, ...]] = 1
+    dilation: Union[int, Tuple[int, ...]] = 1
+    dropout: float = 0.0
+    wavelet_type: str = "mexican_hat"
+    wav_version: str = "fast"
+    norm_layer: Any = BatchNorm
+    norm_kwargs: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+    param_dtype: Any = jnp.float32
+
+    @property
+    def in_g(self):
+        return self.input_dim // self.groups
+
+    @property
+    def out_g(self):
+        return self.output_dim // self.groups
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        assert self.wavelet_type in WAVELET_TYPES, (
+            f"Unsupported wavelet type: {self.wavelet_type}"
+        )
+        assert x.shape[-1] == self.input_dim
+        ks = self.kernel_size
+        kshape = tuple(ks) if isinstance(ks, (tuple, list)) else (ks,) * self.ndim
+
+        silu = jax.nn.silu
+
+        # ---------------- base path: conv(SiLU(x)), pre-dropout x
+        base_w = self.param(
+            "base_w",
+            init_lib.kaiming_uniform("linear", layout="conv_hwio"),
+            kshape + (self.in_g, self.output_dim),
+            self.param_dtype,
+        )
+        base_out = conv_nd(
+            silu(x), base_w, ndim=self.ndim, stride=self.stride,
+            padding=self.padding, dilation=self.dilation, groups=self.groups,
+        )
+
+        if self.dropout > 0 and train:
+            spatial = tuple(range(1, x.ndim - 1))
+            x = nn.Dropout(rate=self.dropout, broadcast_dims=spatial)(
+                x, deterministic=not train
+            )
+
+        # ---------------- wavelet path
+        # scale/translation are per (out_g, in_g) pair within each group
+        # (wav_kan_layers.py:119-122: shapes (1, out, in, 1, 1))
+        st_shape = (self.groups, self.out_g, self.in_g)
+        scale = self.param("scale", init_lib.ones, st_shape, self.param_dtype)
+        translation = self.param("translation", init_lib.zeros, st_shape,
+                                 self.param_dtype)
+
+        B = x.shape[0]
+        spatial_shape = x.shape[1:-1]
+        # (B, *S, G, 1, in_g) - broadcast against (G, out_g, in_g)
+        xg = x.reshape((B,) + spatial_shape + (self.groups, 1, self.in_g))
+        x_scaled = (xg - translation) / scale  # (B, *S, G, out_g, in_g)
+        # channel axis (for shannon's hamming window) is the in_g axis
+        psi = wavelet(x_scaled, self.wavelet_type, channel_axis=x_scaled.ndim - 1)
+
+        flat = psi.reshape(
+            (B,) + spatial_shape + (self.groups * self.out_g * self.in_g,)
+        )
+        # per-(o, i) spatial kernels == grouped conv with G*out_g groups
+        wav_w = self.param(
+            "wavelet_w",
+            init_lib.kaiming_uniform("linear", layout="conv_hwio"),
+            kshape + (self.in_g, self.groups * self.out_g),
+            self.param_dtype,
+        )
+        y = conv_nd(
+            flat, wav_w, ndim=self.ndim, stride=self.stride,
+            padding=self.padding, dilation=self.dilation,
+            groups=self.groups * self.out_g,
+        )
+        # 1x1 output mix per group (wavelet_out, :139/:311)
+        mix_w = self.param(
+            "wavelet_out_w",
+            init_lib.kaiming_uniform("linear", layout="conv_hwio"),
+            (1,) * self.ndim + (self.out_g, self.output_dim),
+            self.param_dtype,
+        )
+        y = conv_nd(y, mix_w, ndim=self.ndim, stride=1, padding=0,
+                    dilation=1, groups=self.groups)
+
+        out = y + base_out
+        norm = make_norm(self.norm_layer, self.output_dim, **dict(self.norm_kwargs))
+        return norm(out, train=train)
+
+
+def _named(ndim: int):
+    def ctor(input_dim, output_dim, kernel_size, **kwargs):
+        kwargs.setdefault("norm_layer", BatchNorm)
+        return WavKANConvND(
+            input_dim=input_dim, output_dim=output_dim,
+            kernel_size=kernel_size, ndim=ndim, **kwargs,
+        )
+
+    return ctor
+
+
+WavKANConv1DLayer = _named(1)
+WavKANConv2DLayer = _named(2)
+WavKANConv3DLayer = _named(3)

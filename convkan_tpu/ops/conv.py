@@ -1,0 +1,79 @@
+"""Grouped N-D convolution on channel-last layouts.
+
+The reference executes groups as a Python loop over per-group nn.ConvNd
+modules (layers/kan_layers.py:249-258).  On TPU we run ONE
+lax.conv_general_dilated with feature_group_count=groups over group-major
+channel-last activations and HWIO weights with the group axis folded into O
+— a single MXU-friendly contraction instead of `groups` small ones.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple, Union
+
+import jax.lax as lax
+import jax.numpy as jnp
+
+IntOrTuple = Union[int, Tuple[int, ...]]
+
+
+def _to_tuple(v: IntOrTuple, ndim: int) -> Tuple[int, ...]:
+    if isinstance(v, (tuple, list)):
+        assert len(v) == ndim
+        return tuple(int(x) for x in v)
+    return (int(v),) * ndim
+
+
+def conv_dimension_numbers(ndim: int):
+    """Channel-last dimension numbers, e.g. ('NHWC','HWIO','NHWC') for 2D."""
+    spatial = "DHW"[-ndim:] if ndim <= 3 else None
+    assert spatial is not None, "only 1/2/3-D convs supported"
+    lhs = "N" + spatial + "C"
+    rhs = spatial + "IO"
+    return lax.conv_dimension_numbers((0,) * (ndim + 2), (0,) * (ndim + 2),
+                                      (lhs, rhs, lhs))
+
+
+def conv_nd(
+    x,
+    w,
+    *,
+    ndim: int,
+    stride: IntOrTuple = 1,
+    padding: IntOrTuple = 0,
+    dilation: IntOrTuple = 1,
+    groups: int = 1,
+    precision=None,
+):
+    """x: (B, *S, Cin); w: (*K, Cin//groups, Cout).  Returns (B, *S', Cout).
+
+    `padding` is symmetric zero padding per spatial dim (int or per-dim
+    tuple), matching torch's Conv semantics.
+    """
+    stride = _to_tuple(stride, ndim)
+    dilation = _to_tuple(dilation, ndim)
+    pad = _to_tuple(padding, ndim)
+    pad_spec = [(p, p) for p in pad]
+    dn = conv_dimension_numbers(ndim)
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=pad_spec,
+        lhs_dilation=(1,) * ndim,
+        rhs_dilation=dilation,
+        dimension_numbers=dn,
+        feature_group_count=groups,
+        precision=precision,
+    )
+
+
+def same_padding(kernel_size: IntOrTuple, dilation: IntOrTuple, ndim: int = 2):
+    """'same' padding for stride 1 — parity with
+    layers/kan_conv.py:12-25 (_calculate_same_padding)."""
+    k = _to_tuple(kernel_size, ndim)
+    d = _to_tuple(dilation, ndim)
+    pads = tuple((dd * (kk - 1)) // 2 for kk, dd in zip(k, d))
+    if all(p == pads[0] for p in pads):
+        return pads[0]
+    return pads

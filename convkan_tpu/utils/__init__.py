@@ -1,0 +1,3 @@
+from . import activations, initializers, norms  # noqa: F401
+from .activations import ACTIVATIONS, resolve_activation  # noqa: F401
+from .norms import NORM_LAYERS, make_norm, resolve_norm  # noqa: F401
