@@ -34,7 +34,12 @@ def bspline_basis(x, grid, spline_order: int):
     kan_layers.py:209, so inputs outside the extended grid produce all-zero
     spline contributions (a documented reference quirk).
     """
-    grid = jnp.asarray(grid, dtype=x.dtype)
+    # the reference stores the knot vector in f32 and performs knot-knot
+    # arithmetic at f32 regardless of the activation dtype (the grid is a
+    # plain f32 tensor attr, kan_layers.py:184-190) — mirror that so f64
+    # parity tests bit-match
+    grid32 = jnp.asarray(grid, dtype=jnp.float32)
+    grid = grid32.astype(x.dtype)
     xe = x[..., None]
     bases = ((xe >= grid[:-1]) & (xe < grid[1:])).astype(x.dtype)
     for k in range(1, spline_order + 1):
@@ -42,8 +47,8 @@ def bspline_basis(x, grid, spline_order: int):
         right = grid[k:-1]
         g_rs = grid[k + 1 :]
         g_ls = grid[1:-k]
-        dr = right - left
-        dd = g_rs - g_ls
+        dr = (grid32[k:-1] - grid32[: -(k + 1)]).astype(x.dtype)
+        dd = (grid32[k + 1 :] - grid32[1:-k]).astype(x.dtype)
         dr = jnp.where(dr == 0, jnp.ones_like(dr), dr)
         dd = jnp.where(dd == 0, jnp.ones_like(dd), dd)
         t1 = (xe - left) / dr * bases[..., :-1]

@@ -52,18 +52,19 @@ def _sinc(x):
 
 
 def hamming_window(n: int):
-    """torch.hamming_window(n, periodic=False) parity."""
+    """torch.hamming_window(n, periodic=False) parity (computed in f64;
+    torch computes in the runtime dtype — equal to 1 ulp in f32)."""
     if n == 1:
-        return np.ones(1, dtype=np.float32)
-    i = np.arange(n, dtype=np.float32)
-    return (0.54 - 0.46 * np.cos(2.0 * math.pi * i / (n - 1))).astype(np.float32)
+        return np.ones(1, dtype=np.float64)
+    i = np.arange(n, dtype=np.float64)
+    return 0.54 - 0.46 * np.cos(2.0 * math.pi * i / (n - 1))
 
 
 def shannon(x, channel_axis: int):
     """Shannon wavelet: sinc(x/pi) windowed by a Hamming window laid out
     along `channel_axis` (wav_kan_layers.py:180-190)."""
     n = x.shape[channel_axis]
-    w = jnp.asarray(hamming_window(n), dtype=x.dtype)
+    w = jnp.asarray(hamming_window(n)).astype(x.dtype)
     shape = [1] * x.ndim
     shape[channel_axis] = n
     return _sinc(x / math.pi) * w.reshape(shape)

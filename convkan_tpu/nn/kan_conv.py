@@ -106,10 +106,12 @@ FAMILIES: dict[str, ConvFamily] = {
                        layout="degree_major", post="act",
                        dropout_site="basis_input", basis_act=True,
                        poly_init="ku_5d", default_base_activation="silu"),
+    # jacobi: the 1/2/3-D subclasses default base_activation to GELU
+    # (jacobi_kan_layers.py:192) even though the ND base defaults to SiLU
     "jacobi": ConvFamily("jacobi", base_input="raw", squash="tanh",
                          layout="degree_major", post="act",
                          dropout_site="basis", poly_init="normal_full",
-                         default_base_activation="silu"),
+                         default_base_activation="gelu"),
     "bernstein": ConvFamily("bernstein", base_input="raw", squash="sigmoid",
                             layout="channel_major", post="act",
                             dropout_site="basis_input", poly_init="ku_5d",
@@ -121,7 +123,9 @@ FAMILIES: dict[str, ConvFamily] = {
     "hermite": ConvFamily("hermite", post="prelu"),
     "laguerre": ConvFamily("laguerre", post="prelu"),
     "lucas": ConvFamily("lucas", post="prelu"),
-    "taylor": ConvFamily("taylor", post="prelu"),
+    # taylor: tanh happens inside the basis (slot 0 stays raw ones) — mark
+    # intrinsic so the shared squash isn't applied twice
+    "taylor": ConvFamily("taylor", squash="intrinsic", post="prelu"),
     "relukan": ConvFamily("relukan", squash="intrinsic", post="act",
                           dropout_site="input",
                           default_base_activation="silu"),
@@ -173,6 +177,9 @@ class KanConvND(nn.Module):
     g: int = 5
     k: int = 3
     train_ab: bool = True
+    # optional explicit knot/center vector (e.g. a torch-exported grid whose
+    # f32 linspace rounding differs from numpy's by 1 ulp)
+    grid_override: Any = None
     param_dtype: Any = jnp.float32
 
     @property
@@ -258,12 +265,18 @@ class KanConvND(nn.Module):
         """Per-channel basis expansion -> (..., C, K)."""
         f = self.family
         if f == "kan":
-            grid = make_bspline_grid(self.grid_size, self.spline_order,
-                                     self.grid_range)
+            if self.grid_override is not None:
+                grid = jnp.asarray(self.grid_override)
+            else:
+                grid = make_bspline_grid(self.grid_size, self.spline_order,
+                                         self.grid_range)
             return bspline_basis(x, grid, self.spline_order)
         if f == "fastkan":
-            grid = make_rbf_grid(self.grid_range[0], self.grid_range[1],
-                                 self.grid_size)
+            if self.grid_override is not None:
+                grid = jnp.asarray(self.grid_override)
+            else:
+                grid = make_rbf_grid(self.grid_range[0], self.grid_range[1],
+                                     self.grid_size)
             denom = (self.grid_range[1] - self.grid_range[0]) / (self.grid_size - 1)
             return rbf_basis(x, grid, denom)
         if f == "cheby":

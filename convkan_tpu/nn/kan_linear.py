@@ -62,6 +62,7 @@ class KANLinear(nn.Module):
     spline_order: int = 3
     base_activation: Any = "__default__"
     grid_range: Tuple[float, float] = (-1.0, 1.0)
+    grid_override: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -78,7 +79,11 @@ class KANLinear(nn.Module):
             (self.input_dim * K, self.output_dim), self.param_dtype)
 
         base = act(x) @ base_w
-        grid = make_bspline_grid(self.grid_size, self.spline_order, self.grid_range)
+        if self.grid_override is not None:
+            grid = jnp.asarray(self.grid_override)
+        else:
+            grid = make_bspline_grid(self.grid_size, self.spline_order,
+                                     self.grid_range)
         bases = bspline_basis(x, grid, self.spline_order)  # (B, in, K)
         spline = bases.reshape(x.shape[0], -1) @ spline_w
         y = base + spline
@@ -99,13 +104,17 @@ class FastKANLinear(nn.Module):
     use_base_update: bool = True
     base_activation: Any = "__default__"
     spline_weight_init_scale: float = 0.1
+    grid_override: Any = None
     param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         act = _resolve(self.base_activation, "silu")
         xn = LayerNorm(num_features=self.input_dim)(x)
-        grid = make_rbf_grid(self.grid_min, self.grid_max, self.num_grids)
+        if self.grid_override is not None:
+            grid = jnp.asarray(self.grid_override)
+        else:
+            grid = make_rbf_grid(self.grid_min, self.grid_max, self.num_grids)
         denom = (self.grid_max - self.grid_min) / (self.num_grids - 1)
         basis = rbf_basis(xn, grid, denom)  # (B, in, G)
         spline_w = self.param(

@@ -1,0 +1,125 @@
+"""Per-family golden parity tests: conv layers vs the PyTorch reference.
+
+Each test loads a committed .npz fixture (reference weights + input +
+output on fixed seeds — see tools/goldens/dump_reference.py), grafts the
+weights into the convkan_tpu module via utils/torch_compat, runs the
+channel-last forward, and asserts 1e-5-scale agreement with the reference's
+NCHW output.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convkan_tpu.nn.kan_conv import KanConvND
+from convkan_tpu.nn.wav_conv import WavKANConvND
+from convkan_tpu.utils.torch_compat import convert_kan_conv, convert_wavkan_conv
+
+from golden_utils import assert_close, graft, load_golden, nchw_to_nhwc, nhwc_to_nchw
+
+CFGS = {
+    "g1": dict(groups=1, padding=1, stride=1, dilation=1),
+    "g2s2": dict(groups=2, padding=1, stride=2, dilation=1),
+}
+
+FAMILY_KW = {
+    "kan": dict(grid_size=5, spline_order=3),
+    "fastkan": dict(grid_size=8, grid_range=(-2.0, 2.0)),
+    "cheby": dict(degree=3),
+    "legendre": dict(degree=3),
+    "gram": dict(degree=3),
+    "jacobi": dict(degree=3, a=1.0, b=1.0),
+    "bernstein": dict(degree=3),
+    "bessel": dict(degree=3),
+    "fibonacci": dict(degree=3),
+    "fourier": dict(grid_size=3),
+    "gegenbauer": dict(degree=3, alpha_param=0.5),
+    "hermite": dict(degree=3),
+    "laguerre": dict(degree=3, alpha=1.0),
+    "lucas": dict(degree=3),
+    "relukan": dict(g=5, k=3),
+    "taylor": dict(degree=3),
+}
+
+
+def _run_layer(module, sd, family, groups, x_nchw):
+    x = nchw_to_nhwc(x_nchw)  # goldens are float64; x64 is on in conftest
+    variables = module.init(jax.random.PRNGKey(0), x, train=False)
+    converted = convert_kan_conv(sd, family, groups)
+    variables = graft(variables, converted)
+    y = module.apply(variables, x, train=False)
+    return nhwc_to_nchw(y)
+
+
+@pytest.mark.parametrize("family", sorted(FAMILY_KW))
+@pytest.mark.parametrize("tag", sorted(CFGS))
+def test_conv2d_family(family, tag):
+    x, y_ref, sd = load_golden(f"conv2d_{family}_{tag}")
+    cfg = CFGS[tag]
+    extra = {}
+    if family == "kan":
+        extra["grid_override"] = tuple(np.asarray(sd["grid"]).ravel()[:12])
+    elif family == "fastkan":
+        extra["grid_override"] = tuple(np.asarray(sd["rbf.grid"]).ravel())
+    module = KanConvND(family=family, input_dim=6, output_dim=8,
+                       kernel_size=3, ndim=2, param_dtype=jnp.float64,
+                       **cfg, **FAMILY_KW[family], **extra)
+    y = _run_layer(module, sd, family, cfg["groups"], x)
+    assert_close(y, y_ref, name=f"conv2d_{family}_{tag}")
+
+
+@pytest.mark.parametrize("rank,name,shape_args", [
+    (1, "conv1d_kan_g1", dict(input_dim=6, output_dim=8)),
+    (3, "conv3d_kan_g1", dict(input_dim=4, output_dim=6)),
+])
+def test_conv_rank_coverage(rank, name, shape_args):
+    x, y_ref, sd = load_golden(name)
+    module = KanConvND(family="kan", kernel_size=3, ndim=rank, padding=1,
+                       grid_size=5, spline_order=3, param_dtype=jnp.float64,
+                       grid_override=tuple(np.asarray(sd["grid"]).ravel()[:12]),
+                       **shape_args)
+    y = _run_layer(module, sd, "kan", 1, x)
+    assert_close(y, y_ref, name=name)
+
+
+@pytest.mark.parametrize("wt", ["mexican_hat", "morlet", "dog", "meyer", "shannon"])
+def test_wavkan_conv_types(wt):
+    x, y_ref, sd = load_golden(f"conv2d_wavkan_fast_{wt}")
+    module = WavKANConvND(input_dim=6, output_dim=8, kernel_size=3, ndim=2,
+                          padding=1, wav_version="fast", wavelet_type=wt,
+                          param_dtype=jnp.float64)
+    xh = nchw_to_nhwc(x)
+    variables = module.init(jax.random.PRNGKey(0), xh, train=False)
+    converted = convert_wavkan_conv(sd, groups=1, wav_version="fast")
+    # bare-layer default norm is BatchNorm (affine + running stats)
+    from convkan_tpu.utils.torch_compat import _convert_group_norms
+    np_, ns_ = _convert_group_norms(sd, "layer_norm", 1)
+    if np_:
+        converted["__norm_params__"] = np_
+    if ns_:
+        converted["__norm_stats__"] = ns_
+    variables = graft(variables, converted, norm_scope="BatchNorm_0")
+    y = nhwc_to_nchw(module.apply(variables, xh, train=False))
+    assert_close(y, y_ref, name=f"wavkan_{wt}")
+
+
+@pytest.mark.parametrize("ver", ["base", "fast", "fast_plus_one"])
+def test_wavkan_conv_versions(ver):
+    """All three reference engines map onto the one fused TPU contraction."""
+    x, y_ref, sd = load_golden(f"conv2d_wavkan_{ver}_g2")
+    module = WavKANConvND(input_dim=6, output_dim=8, kernel_size=3, ndim=2,
+                          padding=1, groups=2, wav_version=ver,
+                          wavelet_type="mexican_hat", param_dtype=jnp.float64)
+    xh = nchw_to_nhwc(x)
+    variables = module.init(jax.random.PRNGKey(0), xh, train=False)
+    converted = convert_wavkan_conv(sd, groups=2, wav_version=ver)
+    from convkan_tpu.utils.torch_compat import _convert_group_norms
+    np_, ns_ = _convert_group_norms(sd, "layer_norm", 2)
+    if np_:
+        converted["__norm_params__"] = np_
+    if ns_:
+        converted["__norm_stats__"] = ns_
+    variables = graft(variables, converted, norm_scope="BatchNorm_0")
+    y = nhwc_to_nchw(module.apply(variables, xh, train=False))
+    assert_close(y, y_ref, name=f"wavkan_{ver}")

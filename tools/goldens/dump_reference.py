@@ -1,0 +1,178 @@
+"""Dump golden fixtures from the PyTorch reference.
+
+Runs the reference implementation (mounted read-only at /root/reference) as
+a NUMERICAL ORACLE on fixed seeds and serializes {inputs, state_dict,
+outputs} per layer config into tests/goldens/*.npz.  The test suite loads
+the reference weights into convkan_tpu modules and asserts 1e-5 parity —
+the BASELINE.json fidelity criterion.
+
+This script is run once per fixture change; the .npz files are committed so
+tests do not depend on /root/reference at runtime.
+
+Usage:  python tools/goldens/dump_reference.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+REFERENCE = os.environ.get("REFERENCE_PATH", "/root/reference")
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "tests", "goldens")
+
+sys.path.insert(0, REFERENCE)
+
+import torch  # noqa: E402
+
+# float64 end-to-end (some reference layers allocate buffers with the torch
+# default dtype, e.g. jacobi_kan_layers.py:40)
+torch.set_default_dtype(torch.float64)
+torch.manual_seed(0)
+
+
+def _save(name, layer, x, extra=None):
+    # float64 everywhere: parity tests then prove exact semantic equivalence
+    # (~1e-12) rather than fp32 accumulation-order noise.
+    layer = layer.double().eval()
+    x = x.double()
+    with torch.no_grad():
+        y = layer(x)
+    blob = {
+        "x": x.numpy(),
+        "y": y.numpy(),
+    }
+    for k, v in layer.state_dict().items():
+        blob[f"param:{k}"] = v.numpy()
+    # b-spline layers keep their knot vector as a plain tensor attribute
+    # (kan_layers.py:184-190) — export it so tests can bit-match torch's
+    # f32 linspace rounding via grid_override
+    if hasattr(layer, "grid") and isinstance(getattr(layer, "grid"), torch.Tensor):
+        blob["grid"] = layer.grid.detach().numpy()
+    if extra:
+        blob.update(extra)
+    os.makedirs(OUT_DIR, exist_ok=True)
+    path = os.path.join(OUT_DIR, f"{name}.npz")
+    np.savez_compressed(path, **blob)
+    print(f"wrote {path}  (out shape {tuple(y.shape)})")
+
+
+def dump_conv_layers():
+    from layers import (
+        KANConv2DLayer, FastKANConv2DLayer, ChebyKANConv2DLayer,
+        LegendreKANConv2DLayer, GRAMKANConv2DLayer, JacobiKANConv2DLayer,
+        BersnsteinKANConv2DLayer, BesselKANConv2DLayer,
+        FibonacciKANConv2DLayer, FourierKANConv2DLayer,
+        GegenbauerKANConv2DLayer, HermiteKANConv2DLayer,
+        LaguerreKANConv2DLayer, LucasKANConv2DLayer, ReLUKANConv2DLayer,
+        TaylorKANConv2DLayer, WavKANConv2DLayer,
+        KANConv1DLayer, KANConv3DLayer,
+    )
+
+    cfgs = [
+        ("g1", dict(groups=1, padding=1, stride=1, dilation=1), (2, 6, 8, 8)),
+        ("g2s2", dict(groups=2, padding=1, stride=2, dilation=1), (2, 6, 9, 9)),
+    ]
+
+    families = {
+        "kan": lambda **kw: KANConv2DLayer(6, 8, 3, grid_size=5, spline_order=3, **kw),
+        "fastkan": lambda **kw: FastKANConv2DLayer(6, 8, 3, grid_size=8, **kw),
+        "cheby": lambda **kw: ChebyKANConv2DLayer(6, 8, 3, degree=3, **kw),
+        "legendre": lambda **kw: LegendreKANConv2DLayer(6, 8, 3, degree=3, **kw),
+        "gram": lambda **kw: GRAMKANConv2DLayer(6, 8, 3, degree=3, **kw),
+        "jacobi": lambda **kw: JacobiKANConv2DLayer(6, 8, 3, degree=3, **kw),
+        "bernstein": lambda **kw: BersnsteinKANConv2DLayer(6, 8, 3, degree=3, **kw),
+        "bessel": lambda **kw: BesselKANConv2DLayer(6, 8, 3, degree=3, **kw),
+        "fibonacci": lambda **kw: FibonacciKANConv2DLayer(6, 8, 3, degree=3, **kw),
+        "fourier": lambda **kw: FourierKANConv2DLayer(6, 8, 3, grid_size=3, **kw),
+        "gegenbauer": lambda **kw: GegenbauerKANConv2DLayer(6, 8, 3, degree=3, alpha_param=0.5, **kw),
+        "hermite": lambda **kw: HermiteKANConv2DLayer(6, 8, 3, degree=3, **kw),
+        "laguerre": lambda **kw: LaguerreKANConv2DLayer(6, 8, 3, degree=3, alpha=1.0, **kw),
+        "lucas": lambda **kw: LucasKANConv2DLayer(6, 8, 3, degree=3, **kw),
+        "relukan": lambda **kw: ReLUKANConv2DLayer(6, 8, 3, g=5, k=3, **kw),
+        "taylor": lambda **kw: TaylorKANConv2DLayer(6, 8, 3, degree=3, **kw),
+    }
+
+    for fam, builder in families.items():
+        for tag, kw, xshape in cfgs:
+            torch.manual_seed(42)
+            layer = builder(**kw)
+            torch.manual_seed(7)
+            x = torch.randn(*xshape)
+            _save(f"conv2d_{fam}_{tag}", layer, x)
+
+    # WavKAN: every wavelet type on 'fast', every engine on mexican_hat
+    for wt in ["mexican_hat", "morlet", "dog", "meyer", "shannon"]:
+        torch.manual_seed(42)
+        layer = WavKANConv2DLayer(6, 8, 3, padding=1, wav_version="fast",
+                                  wavelet_type=wt)
+        torch.manual_seed(7)
+        x = torch.randn(2, 6, 8, 8)
+        _save(f"conv2d_wavkan_fast_{wt}", layer, x)
+    for ver in ["base", "fast", "fast_plus_one"]:
+        torch.manual_seed(42)
+        layer = WavKANConv2DLayer(6, 8, 3, padding=1, groups=2, wav_version=ver,
+                                  wavelet_type="mexican_hat")
+        torch.manual_seed(7)
+        x = torch.randn(2, 6, 8, 8)
+        _save(f"conv2d_wavkan_{ver}_g2", layer, x)
+
+    # 1D / 3D rank coverage for the shared skeleton
+    torch.manual_seed(42)
+    l1 = KANConv1DLayer(6, 8, 3, padding=1)
+    torch.manual_seed(7)
+    _save("conv1d_kan_g1", l1, torch.randn(2, 6, 16))
+    torch.manual_seed(42)
+    l3 = KANConv3DLayer(4, 6, 3, padding=1)
+    torch.manual_seed(7)
+    _save("conv3d_kan_g1", l3, torch.randn(2, 4, 5, 6, 6))
+
+
+def dump_mlp_layers():
+    from layers import (
+        KANLayer, FastKANLayer, ChebyKANLayer, LegendreKANLayer,
+        GRAMKANLayer, JacobiKANLayer, BersnsteinKANLayer, BesselKANLayer,
+        FibonacciKANLayer, FourierKANLayer, GegenbauerKANLayer,
+        HermiteKANLayer, LaguerreKANLayer, LucasKANLayer, ReLUKANLayer,
+        TaylorKANLayer, WavKANLayer,
+    )
+
+    builders = {
+        "kan": lambda: KANLayer(12, 5),
+        "fastkan": lambda: FastKANLayer(12, 5),
+        "cheby": lambda: ChebyKANLayer(12, 5, 3),
+        "legendre": lambda: LegendreKANLayer(12, 5, 3),
+        "gram": lambda: GRAMKANLayer(12, 5, 3),
+        "jacobi": lambda: JacobiKANLayer(12, 5, 3),
+        "bernstein": lambda: BersnsteinKANLayer(12, 5, 3),
+        "bessel": lambda: BesselKANLayer(12, 5, 3),
+        "fibonacci": lambda: FibonacciKANLayer(12, 5, 3),
+        "fourier": lambda: FourierKANLayer(12, 5, 3),
+        "gegenbauer": lambda: GegenbauerKANLayer(12, 5, 3, 0.5),
+        "hermite": lambda: HermiteKANLayer(12, 5, 3),
+        "laguerre": lambda: LaguerreKANLayer(12, 5, 3, 1.0),
+        "lucas": lambda: LucasKANLayer(12, 5, 3),
+        "relukan": lambda: ReLUKANLayer(12, 5, 3, 5),
+        "taylor": lambda: TaylorKANLayer(12, 5, 3, add_bias=True),
+        "wavkan": lambda: WavKANLayer(12, 5),
+    }
+    for fam, b in builders.items():
+        torch.manual_seed(42)
+        layer = b()
+        torch.manual_seed(7)
+        x = torch.randn(4, 12)
+        _save(f"mlp_{fam}", layer, x)
+
+    # wavkan MLP per wavelet type
+    for wt in ["morlet", "dog", "meyer", "shannon"]:
+        torch.manual_seed(42)
+        layer = WavKANLayer(12, 5, wavelet_type=wt)
+        torch.manual_seed(7)
+        _save(f"mlp_wavkan_{wt}", layer, torch.randn(4, 12))
+
+
+if __name__ == "__main__":
+    dump_conv_layers()
+    dump_mlp_layers()
+    print("done")
