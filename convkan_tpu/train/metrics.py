@@ -1,0 +1,44 @@
+"""On-device classification metrics.
+
+The reference computes macro precision/recall/F1 with sklearn on host
+(evaluations.py:146-148), forcing a device->host sync per batch.  Here the
+confusion matrix is accumulated on device inside the jitted eval step and
+the macro metrics are derived from it — no per-batch syncs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def confusion_matrix(preds, targets, num_classes: int):
+    """(N,) int preds/targets -> (C, C) counts [true, pred]."""
+    idx = targets * num_classes + preds
+    cm = jnp.bincount(idx, length=num_classes * num_classes)
+    return cm.reshape(num_classes, num_classes)
+
+
+def macro_prf1(cm):
+    """Macro precision/recall/F1 from a confusion matrix — matches
+    sklearn's macro average with zero_division=0 semantics."""
+    tp = jnp.diagonal(cm).astype(jnp.float32)
+    pred_c = jnp.sum(cm, axis=0).astype(jnp.float32)
+    true_c = jnp.sum(cm, axis=1).astype(jnp.float32)
+    precision = jnp.where(pred_c > 0, tp / jnp.maximum(pred_c, 1), 0.0)
+    recall = jnp.where(true_c > 0, tp / jnp.maximum(true_c, 1), 0.0)
+    f1 = jnp.where(precision + recall > 0,
+                   2 * precision * recall / jnp.maximum(precision + recall, 1e-12),
+                   0.0)
+    return jnp.mean(precision), jnp.mean(recall), jnp.mean(f1)
+
+
+def accuracy_from_cm(cm):
+    return jnp.sum(jnp.diagonal(cm)) / jnp.maximum(jnp.sum(cm), 1)
+
+
+def cross_entropy_loss(logits, targets):
+    """Mean CE over the batch (torch nn.CrossEntropyLoss parity)."""
+    logp = logits - jnp.max(logits, axis=-1, keepdims=True)
+    logp = logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1, keepdims=True))
+    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    return jnp.mean(nll)
