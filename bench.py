@@ -1,0 +1,157 @@
+"""Benchmark: KAN-VGG CIFAR-10 training throughput (images/sec/chip).
+
+Prints ONE JSON line:
+  {"metric": "kan_vgg_cifar10_train_throughput", "value": N,
+   "unit": "images/sec/chip", "vs_baseline": R}
+
+`vs_baseline` is the ratio against the PyTorch reference implementation
+running the same model/batch on this host's CPU (the only reference
+hardware available here; the reference has no GPU numbers — BASELINE.md).
+The control number is measured once and cached in baseline_measured.json.
+
+Config: VGG16_small with B-spline KAN convs (grid 5, order 3), batch 128,
+32x32x3, full train step (fwd+bwd+AdamW), synthetic CIFAR-shaped data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BATCH = 128
+STEPS = 20
+WARMUP = 3
+ARCH = "VGG16_small"
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "baseline_measured.json")
+
+
+def measure_ours() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convkan_tpu.models.vgg import vggkan
+    from convkan_tpu.train.loop import make_train_step
+    from convkan_tpu.train.state import create_train_state
+
+    model = vggkan(3, 10, arch=ARCH, kan_conv="KAN",
+                   classifier_type="Linear")
+    x0 = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                               steps_per_epoch=100)
+    step = make_train_step(model, "CIFAR10", augment=True)
+
+    rng = jax.random.PRNGKey(1)
+    xb = np.random.RandomState(0).randint(0, 256, (BATCH, 32, 32, 3),
+                                          dtype=np.uint8)
+    yb = np.random.RandomState(1).randint(0, 10, (BATCH,), dtype=np.int32)
+
+    for _ in range(WARMUP):
+        state, loss = step(state, rng, xb, yb)
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, loss = step(state, rng, xb, yb)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return BATCH * STEPS / dt
+
+
+def measure_torch_reference() -> float:
+    """Run the PyTorch reference's KAN-VGG one train step at a time on this
+    host CPU (the reference is single-device CPU/GPU only: train.py:130)."""
+    import sys
+    import types
+
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+    # torchvision isn't installed; the reference package __init__ imports it
+    # transitively (models/kan_efficientnet.py:10).  Provide a minimal
+    # SqueezeExcitation stand-in so the VGG import path works.
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_ops = types.ModuleType("torchvision.ops")
+        tv_misc = types.ModuleType("torchvision.ops.misc")
+
+        class _SE(torch.nn.Module):
+            def __init__(self, input_channels, squeeze_channels,
+                         activation=torch.nn.ReLU,
+                         scale_activation=torch.nn.Sigmoid):
+                super().__init__()
+                self.avgpool = torch.nn.AdaptiveAvgPool2d(1)
+                self.fc1 = torch.nn.Conv2d(input_channels, squeeze_channels, 1)
+                self.fc2 = torch.nn.Conv2d(squeeze_channels, input_channels, 1)
+                self.activation = activation()
+                self.scale_activation = scale_activation()
+
+            def forward(self, x):
+                s = self.avgpool(x)
+                s = self.activation(self.fc1(s))
+                s = self.scale_activation(self.fc2(s))
+                return x * s
+
+        tv_misc.SqueezeExcitation = _SE
+        tv_ops.misc = tv_misc
+        tv.ops = tv_ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv_ops
+        sys.modules["torchvision.ops.misc"] = tv_misc
+
+    torch.manual_seed(0)
+    from models.kan_vgg import vggkan as ref_vggkan
+
+    model = ref_vggkan(
+        input_channels=3, num_classes=10, arch=ARCH, kan_conv="KAN",
+        classifier_type="Linear")
+    model.train()
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-3)
+    crit = torch.nn.CrossEntropyLoss()
+    x = torch.randn(BATCH, 3, 32, 32)
+    y = torch.randint(0, 10, (BATCH,))
+    steps = 3
+    # warmup
+    opt.zero_grad(); crit(model(x), y).backward(); opt.step()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = crit(model(x), y)
+        loss.backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return BATCH * steps / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_images_per_sec"]
+    if os.path.exists("/root/reference"):
+        try:
+            v = measure_torch_reference()
+            with open(BASELINE_CACHE, "w") as f:
+                json.dump({"torch_cpu_images_per_sec": v,
+                           "config": f"{ARCH} KAN conv batch {BATCH} "
+                                     "fwd+bwd+AdamW, host CPU"}, f)
+            return v
+        except Exception:
+            return 0.0
+    return 0.0
+
+
+def main():
+    ours = measure_ours()
+    base = get_baseline()
+    ratio = ours / base if base > 0 else None
+    print(json.dumps({
+        "metric": "kan_vgg_cifar10_train_throughput",
+        "value": round(ours, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ratio, 2) if ratio else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Shared builder plumbing for the model zoo: signature-filtered conv
+factories and classifier factories — the reference repeats this block in
+every model file (e.g. kan_alexnet.py:49-69, kan_vgg.py:73-101)."""
+
+from __future__ import annotations
+
+from functools import partial
+from inspect import signature
+from typing import Any, Callable, Mapping, Optional
+
+from ..factory.conv_factory import CONV_KAN_FACTORY
+from ..factory.mlp_factory import MLP_KAN_FACTORY
+from ..ops.std_conv import StdConvBlock
+from ..utils.norms import resolve_norm
+
+
+def make_conv_factory(conv_type: str, kan_conv: Optional[str], *,
+                      spline_order=3, grid_size=5, base_activation="silu",
+                      grid_range=(-1, 1), dropout=0.0, l1_decay=0.0,
+                      degree=3, norm_layer=None, kan_norm_layer=None,
+                      affine=False, **extra) -> Callable:
+    """Returns fn(in_planes, out_planes, kernel_size=..., stride=...,
+    padding=..., groups=...) building either a KAN conv (factory-dispatched)
+    or a standard Conv->Norm->ReLU block."""
+    if conv_type == "kanconv":
+        key = kan_conv if kan_conv in CONV_KAN_FACTORY else "KAN"
+        fn = CONV_KAN_FACTORY[key]
+        args = {
+            "spline_order": spline_order,
+            "grid_size": grid_size,
+            "base_activation": base_activation,
+            "grid_range": grid_range,
+            "dropout": dropout,
+            "l1_decay": l1_decay,
+            "norm_layer": resolve_norm(kan_norm_layer or norm_layer),
+            "affine": affine,
+            "degree": degree,
+        }
+        args.update(extra)
+        valid = signature(fn).parameters
+        has_kwargs = any(p.kind == p.VAR_KEYWORD for p in valid.values())
+        # unknown keys flow into the factory's **norm_kwargs (the
+        # reference's inspect.signature filtering pattern lets e.g.
+        # affine/eps/momentum reach the norm layer)
+        filtered = {k: v for k, v in args.items() if k in valid or has_kwargs}
+        return partial(fn, **filtered)
+
+    def std_conv(in_planes, out_planes, kernel_size, stride=1, padding=None,
+                 groups=1, dilation=1, activation="relu"):
+        return StdConvBlock(
+            in_planes=in_planes, out_planes=out_planes,
+            kernel_size=kernel_size, stride=stride,
+            padding=padding if padding is not None else 0,
+            dilation=dilation, groups=groups, base_activation=activation,
+            norm_layer=resolve_norm(norm_layer),
+            norm_kwargs={"affine": affine})
+
+    return std_conv
+
+
+def make_mlp_classifier_factory(kan_classifier: Optional[str], *,
+                                dropout=0.0, spline_order=3, grid_size=5,
+                                base_activation=None, grid_range=(-1, 1),
+                                l1_decay=0.0, degree=3, first_dropout=False,
+                                **extra) -> Callable:
+    """MLP_KAN_FACTORY partial with signature-filtered kwargs
+    (kan_alexnet.py:151-167 pattern)."""
+    key = kan_classifier if kan_classifier in MLP_KAN_FACTORY else "KAN"
+    fn = MLP_KAN_FACTORY[key]
+    args = {
+        "dropout": dropout,
+        "spline_order": spline_order,
+        "grid_size": grid_size,
+        "base_activation": base_activation,
+        "grid_range": grid_range,
+        "l1_decay": l1_decay,
+        "degree": degree,
+        "first_dropout": first_dropout,
+    }
+    args.update(extra)
+    args = {k: v for k, v in args.items() if v is not None}
+    return partial(fn, **args)
+
+
+def resolve_classifier_overrides(prefix_args: Mapping[str, Any], **defaults):
+    """classifier_* override semantics: each classifier_X falls back to X
+    (kan_alexnet.py:143-149)."""
+    out = {}
+    for k, default in defaults.items():
+        v = prefix_args.get(f"classifier_{k}")
+        out[k] = v if v is not None else default
+    return out

@@ -106,7 +106,10 @@ class VGGKAN(nn.Module):
         default_factory=dict)
 
     @property
-    def name(self) -> str:
+    def model_name(self) -> str:
+        # `name` is reserved by flax.linen for module scoping; the
+        # reference's `model.name` checkpoint-naming contract maps to
+        # `model_name` here
         kan_conv_suffix = (f"_{(self.kan_conv or 'KAN').upper()}"
                            if self.conv_type == "kanconv" else "_CONV")
         head = self.classifier_type

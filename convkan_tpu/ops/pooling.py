@@ -27,6 +27,8 @@ def max_pool(x, kernel_size: IntOr2, stride: IntOr2 = None, padding: IntOr2 = 0)
     k = _pair(kernel_size)
     s = _pair(stride if stride is not None else kernel_size)
     p = _pair(padding)
+    # NOTE: the init value must stay a weak-typed python literal — a
+    # concrete array here defeats JAX's reduce-window-max autodiff pattern
     return lax.reduce_window(
         x, -jnp.inf, lax.max,
         window_dimensions=(1, k[0], k[1], 1),

@@ -243,7 +243,7 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
                         sample_input=None):
     """generic_train.py:18-53 parity: build optimizer/state and run the
     epoch loop; returns (state, history)."""
-    model_name = model_name or getattr(model, "name", type(model).__name__)
+    model_name = model_name or getattr(model, "model_name", None) or type(model).__name__
     if sample_input is None:
         h, w, c = train_ds.images.shape[1:]
         sample_input = jnp.zeros((batch_size, h, w, c), jnp.float32)

@@ -53,14 +53,19 @@ def make_optimizer(learning_rate: float, weight_decay: float, gamma: float,
 def create_train_state(model, rng, sample_input, learning_rate=1e-3,
                        weight_decay=1e-3, gamma=0.8, steps_per_epoch=1,
                        train: bool = False) -> TrainState:
-    variables = model.init({"params": rng}, sample_input, train=train)
+    # init under jit: eager per-op dispatch is orders of magnitude slower
+    # than one compiled program (especially over the remote-TPU tunnel)
+    variables = jax.jit(
+        lambda r, x: model.init({"params": r}, x, train=train)
+    )(rng, sample_input)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(learning_rate, weight_decay, gamma, steps_per_epoch)
+    opt_state = jax.jit(tx.init)(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
-        opt_state=tx.init(params),
+        opt_state=opt_state,
         batch_stats=batch_stats,
         tx=tx,
     )

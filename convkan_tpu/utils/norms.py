@@ -33,6 +33,7 @@ class InstanceNorm(nn.Module):
     num_features: int
     eps: float = 1e-5
     affine: bool = False
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -43,8 +44,10 @@ class InstanceNorm(nn.Module):
         y = (x - mean) / jnp.sqrt(var + self.eps)
         if self.affine:
             shape = (1,) * (x.ndim - 1) + (self.num_features,)
-            weight = self.param("weight", lambda k, s: jnp.ones(s), shape)
-            bias = self.param("bias", lambda k, s: jnp.zeros(s), shape)
+            weight = self.param("weight",
+                                lambda k, s: jnp.ones(s, self.param_dtype), shape)
+            bias = self.param("bias",
+                              lambda k, s: jnp.zeros(s, self.param_dtype), shape)
             y = y * weight + bias
         return y
 
@@ -57,6 +60,7 @@ class BatchNorm(nn.Module):
     momentum: float = 0.1
     affine: bool = True
     track_running_stats: bool = True
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -88,8 +92,10 @@ class BatchNorm(nn.Module):
 
         y = (x - mean) / jnp.sqrt(var + self.eps)
         if self.affine:
-            weight = self.param("weight", lambda k, s: jnp.ones(s), feat_shape)
-            bias = self.param("bias", lambda k, s: jnp.zeros(s), feat_shape)
+            weight = self.param(
+                "weight", lambda k, s: jnp.ones(s, self.param_dtype), feat_shape)
+            bias = self.param(
+                "bias", lambda k, s: jnp.zeros(s, self.param_dtype), feat_shape)
             y = y * weight + bias
         return y
 
@@ -100,6 +106,7 @@ class LayerNorm(nn.Module):
     num_features: int
     eps: float = 1e-5
     elementwise_affine: bool = True
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -107,8 +114,12 @@ class LayerNorm(nn.Module):
         var = jnp.var(x, axis=-1, keepdims=True)
         y = (x - mean) / jnp.sqrt(var + self.eps)
         if self.elementwise_affine:
-            weight = self.param("weight", lambda k, s: jnp.ones(s), (self.num_features,))
-            bias = self.param("bias", lambda k, s: jnp.zeros(s), (self.num_features,))
+            weight = self.param(
+                "weight", lambda k, s: jnp.ones(s, self.param_dtype),
+                (self.num_features,))
+            bias = self.param(
+                "bias", lambda k, s: jnp.zeros(s, self.param_dtype),
+                (self.num_features,))
             y = y * weight + bias
         return y
 
@@ -124,6 +135,7 @@ class GroupNorm(nn.Module):
     num_groups: int = 1
     eps: float = 1e-5
     affine: bool = True
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -137,8 +149,10 @@ class GroupNorm(nn.Module):
         var = jnp.var(xg, axis=axes, keepdims=True)
         y = ((xg - mean) / jnp.sqrt(var + self.eps)).reshape(shape)
         if self.affine:
-            weight = self.param("weight", lambda k, s: jnp.ones(s), (c,))
-            bias = self.param("bias", lambda k, s: jnp.zeros(s), (c,))
+            weight = self.param(
+                "weight", lambda k, s: jnp.ones(s, self.param_dtype), (c,))
+            bias = self.param(
+                "bias", lambda k, s: jnp.zeros(s, self.param_dtype), (c,))
             y = y * weight + bias
         return y
 
@@ -149,6 +163,7 @@ class RMSNorm(nn.Module):
     num_features: int
     eps: Optional[float] = None
     elementwise_affine: bool = True
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -156,7 +171,9 @@ class RMSNorm(nn.Module):
         ms = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
         y = x / jnp.sqrt(ms + eps)
         if self.elementwise_affine:
-            weight = self.param("weight", lambda k, s: jnp.ones(s), (self.num_features,))
+            weight = self.param(
+                "weight", lambda k, s: jnp.ones(s, self.param_dtype),
+                (self.num_features,))
             y = y * weight
         return y
 

@@ -1,0 +1,270 @@
+"""Training CLI — flag-for-flag parity with the reference's train.py:44-92,
+driving the TPU-native stack (jitted train/eval steps, on-device metrics,
+Orbax checkpoints, optional data-parallel mesh).
+
+Extra flags beyond the reference (documented): --resume (true mid-training
+resume), --synthetic_data (zero-egress smoke runs), --mesh_data (data-
+parallel device count; default all devices).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+NORM_LAYER_CHOICES = ["BatchNorm2d", "InstanceNorm2d", "GroupNorm",
+                      "RMSNorm", "LayerNorm", "None"]
+ACT_CHOICES = ["gelu", "silu", "relu", "leakyrelu", "prelu", "tanh",
+               "sigmoid", "hardswish", "None"]
+
+MODEL_CHOICES = ["VGGKAN", "FlexibleAlexNet", "EfficientNetKAN",
+                 "EfficientNetV2KAN", "AlexNetKAN", "MobileNetV2KAN",
+                 "MobileNetV1KAN", "MobileNetV3KAN"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    # reference train.py:44-92
+    p = argparse.ArgumentParser(description="Training.")
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--dataset", type=str, default="MNIST",
+                   choices=["MNIST", "SVHN", "CIFAR10", "CIFAR100"])
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--data_path", type=str, default="./data")
+    p.add_argument("--epoch", type=int, default=20)
+    p.add_argument("--model", type=str, default="FlexibleAlexNet",
+                   choices=MODEL_CHOICES)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--weight_decay", type=float, default=1e-3)
+    p.add_argument("--gamma", type=float, default=0.8)
+    p.add_argument("--imagenet_preprocessing", action="store_true")
+    p.add_argument("--results_dir", type=str, default="./results")
+    p.add_argument("--num_workers", type=int, default=1)
+    p.add_argument("--use_cuda", action="store_true",
+                   help="accepted for reference-CLI parity (ignored; device "
+                        "selection is JAX-platform driven)")
+    p.add_argument("--arch", type=str)
+    p.add_argument("--classifier_type", type=str, default="Linear")
+    p.add_argument("--conv_type", type=str, default="kanconv",
+                   choices=["kanconv", "conv"])
+    p.add_argument("--kan_conv", type=str, default="KAN")
+    p.add_argument("--kan_classifier", type=str, default="KAN")
+    p.add_argument("--norm_layer", type=str, default="BatchNorm2d",
+                   choices=NORM_LAYER_CHOICES)
+    p.add_argument("--kan_norm_layer", type=str, default="BatchNorm2d",
+                   choices=NORM_LAYER_CHOICES)
+    p.add_argument("--norm_affine", action="store_true")
+    p.add_argument("--dropout_conv", type=float, default=0.0)
+    p.add_argument("--dropout_linear", type=float, default=0.5)
+    p.add_argument("--grid_size", type=int, default=5)
+    p.add_argument("--spline_order", type=int, default=3)
+    p.add_argument("--l1_decay", type=float, default=0.0)
+    p.add_argument("--groups", type=int, default=1)
+    p.add_argument("--degree", type=int, default=3)
+    p.add_argument("--classifier_dropout", type=float, default=None)
+    p.add_argument("--classifier_grid_size", type=int, default=None)
+    p.add_argument("--classifier_spline_order", type=int, default=None)
+    p.add_argument("--classifier_l1_decay", type=float, default=None)
+    p.add_argument("--classifier_degree", type=int, default=None)
+    p.add_argument("--classifier_base_activation", type=str, default="None",
+                   choices=ACT_CHOICES)
+    p.add_argument("--width_scale", type=float, default=1)
+    p.add_argument("--stochastic_depth_prob", type=float, default=0.2)
+    p.add_argument("--replace_depthwise", action="store_true")
+    # TPU-native extensions
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the _last checkpoint if present")
+    p.add_argument("--synthetic_data", action="store_true",
+                   help="use synthetic dataset-shaped data (no files needed)")
+    p.add_argument("--mesh_data", type=int, default=None,
+                   help="data-parallel devices (default: all)")
+    return p
+
+
+def build_model(args, input_shape, num_classes):
+    from convkan_tpu.models import (
+        alexnet_kan, efficientnet_kan, efficientnet_kan_small,
+        efficientnetv2_kan, efficientnetv2_kan_small, mobilenet_v1_kan,
+        mobilenet_v2_kan, mobilenet_v3_kan, vggkan,
+    )
+
+    common_cls = dict(
+        classifier_spline_order=args.classifier_spline_order,
+        classifier_grid_size=args.classifier_grid_size,
+        classifier_dropout=args.classifier_dropout,
+        classifier_l1_decay=args.classifier_l1_decay,
+        classifier_degree=args.classifier_degree,
+        classifier_base_activation=(
+            None if args.classifier_base_activation == "None"
+            else args.classifier_base_activation),
+    )
+
+    norm = args.norm_layer
+    kan_norm = args.kan_norm_layer
+
+    if args.model == "VGGKAN":
+        return vggkan(
+            input_channels=input_shape[-1], num_classes=num_classes,
+            conv_type=args.conv_type,
+            kan_conv=args.kan_conv if args.conv_type == "kanconv" else None,
+            kan_classifier=(args.kan_classifier if args.classifier_type in
+                            ["VGGKAN", "KAN", "HiddenKAN"] else None),
+            dropout=args.dropout_conv, l1_decay=args.l1_decay,
+            dropout_linear=args.dropout_linear,
+            arch=args.arch or "VGG16", classifier_type=args.classifier_type,
+            expected_feature_shape=(7, 7) if args.imagenet_preprocessing
+            else (1, 1),
+            width_scale=args.width_scale, affine=args.norm_affine,
+            norm_layer=norm, kan_norm_layer=kan_norm,
+            grid_size=args.grid_size, spline_order=args.spline_order,
+            conv_dropout=args.dropout_conv, degree=args.degree,
+            groups=args.groups, **common_cls)
+    if args.model in ("FlexibleAlexNet", "AlexNetKAN"):
+        return alexnet_kan(
+            num_classes=num_classes, input_channels=input_shape[-1],
+            dropout=args.dropout_linear, arch=args.arch or "default",
+            conv_type=args.conv_type,
+            kan_conv=args.kan_conv if args.conv_type == "kanconv" else None,
+            classifier_type=args.classifier_type,
+            kan_classifier=args.kan_classifier,
+            norm_layer=norm, kan_norm_layer=kan_norm,
+            affine=args.norm_affine, l1_decay=args.l1_decay,
+            groups=args.groups, grid_size=args.grid_size,
+            spline_order=args.spline_order, degree=args.degree,
+            conv_dropout=args.dropout_conv, **common_cls)
+    if args.model == "MobileNetV1KAN":
+        return mobilenet_v1_kan(
+            num_classes=num_classes, input_channels=input_shape[-1],
+            width_mult=args.width_scale, dropout=args.dropout_linear,
+            conv_type=args.conv_type, kan_conv=args.kan_conv,
+            replace_depthwise=args.replace_depthwise,
+            classifier_type=args.classifier_type,
+            kan_classifier=args.kan_classifier, norm_layer=norm,
+            kan_norm_layer=kan_norm, affine=args.norm_affine,
+            l1_decay=args.l1_decay, groups=args.groups,
+            grid_size=args.grid_size, spline_order=args.spline_order,
+            degree=args.degree, conv_dropout=args.dropout_conv, **common_cls)
+    if args.model == "MobileNetV2KAN":
+        return mobilenet_v2_kan(
+            num_classes=num_classes, arch=args.arch or "default",
+            input_channels=input_shape[-1], width_mult=args.width_scale,
+            dropout=args.dropout_linear, conv_type=args.conv_type,
+            kan_conv=args.kan_conv,
+            replace_depthwise=args.replace_depthwise,
+            classifier_type=args.classifier_type,
+            kan_classifier=args.kan_classifier, norm_layer=norm,
+            kan_norm_layer=kan_norm, affine=args.norm_affine,
+            l1_decay=args.l1_decay, groups=args.groups,
+            grid_size=args.grid_size, spline_order=args.spline_order,
+            degree=args.degree, conv_dropout=args.dropout_conv, **common_cls)
+    if args.model == "MobileNetV3KAN":
+        if args.arch not in ("large", "small"):
+            raise SystemExit("MobileNetV3 requires --arch large|small")
+        return mobilenet_v3_kan(
+            arch=args.arch, num_classes=num_classes,
+            input_channels=input_shape[-1], width_mult=args.width_scale,
+            dropout=args.dropout_linear, conv_type=args.conv_type,
+            kan_conv=args.kan_conv,
+            replace_depthwise=args.replace_depthwise,
+            classifier_type=args.classifier_type,
+            kan_classifier=args.kan_classifier, norm_layer=norm,
+            kan_norm_layer=kan_norm, affine=args.norm_affine,
+            l1_decay=args.l1_decay, groups=args.groups,
+            grid_size=args.grid_size, spline_order=args.spline_order,
+            degree=args.degree, conv_dropout=args.dropout_conv, **common_cls)
+    if args.model == "EfficientNetKAN":
+        fn = (efficientnet_kan_small if args.arch and "small" in args.arch
+              else efficientnet_kan)
+        return fn(
+            arch=args.arch or "b0", num_classes=num_classes,
+            in_channels=input_shape[-1], conv_type=args.conv_type,
+            kan_conv=args.kan_conv,
+            replace_depthwise=args.replace_depthwise,
+            classifier_type=args.classifier_type,
+            kan_classifier=args.kan_classifier, norm_layer=norm,
+            kan_norm_layer=kan_norm, affine=args.norm_affine,
+            stochastic_depth_prob=args.stochastic_depth_prob,
+            l1_decay=args.l1_decay, grid_size=args.grid_size,
+            spline_order=args.spline_order,
+            conv_dropout=args.dropout_conv, **common_cls)
+    if args.model == "EfficientNetV2KAN":
+        if args.arch not in ("s", "m", "l", "tiny", "kan_tiny"):
+            raise SystemExit(
+                f"Unsupported EfficientNetV2 arch: {args.arch}")
+        fn = (efficientnetv2_kan_small if args.arch in ("tiny", "kan_tiny")
+              else efficientnetv2_kan)
+        return fn(
+            arch=args.arch, num_classes=num_classes,
+            in_channels=input_shape[-1], conv_type=args.conv_type,
+            kan_conv=args.kan_conv,
+            replace_depthwise=args.replace_depthwise,
+            classifier_type=args.classifier_type,
+            kan_classifier=args.kan_classifier, norm_layer=norm,
+            kan_norm_layer=kan_norm, affine=args.norm_affine,
+            stochastic_depth_prob=args.stochastic_depth_prob,
+            l1_decay=args.l1_decay, grid_size=args.grid_size,
+            spline_order=args.spline_order,
+            conv_dropout=args.dropout_conv, **common_cls)
+    raise SystemExit(f"Model {args.model!r} not recognized")
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    results_path = os.path.join(".", args.results_dir)
+    model_save_path = os.path.join(results_path, args.dataset, "models")
+    log_save_path = os.path.join(results_path, args.dataset, "logs")
+    for d in (results_path, model_save_path, log_save_path):
+        os.makedirs(d, exist_ok=True)
+
+    log_file = os.path.join(
+        log_save_path,
+        f"{args.model}_{args.classifier_type}_{args.dataset}_seed"
+        f"{args.seed}_train.log")
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(message)s", datefmt="%Y-%m-%d %H:%M:%S",
+        handlers=[logging.FileHandler(log_file),
+                  logging.StreamHandler(sys.stdout)])
+    logger = logging.getLogger("train")
+    logger.info("--- Start Training Script ---")
+    for k, v in vars(args).items():
+        logger.info("  %s: %s", k, v)
+
+    import jax
+
+    from convkan_tpu.parallel.mesh import make_mesh
+    from convkan_tpu.train.data import get_datasets
+    from convkan_tpu.train.loop import train_model_generic, write_results_csv
+
+    train_ds, test_ds, classes = get_datasets(
+        args.dataset, args.data_path, synthetic=args.synthetic_data)
+    num_classes = len(classes)
+    h, w, c = train_ds.images.shape[1:]
+    input_shape = (h, w, c)
+
+    model = build_model(args, input_shape, num_classes)
+    model_name = getattr(model, "model_name", type(model).__name__)
+    logger.info("Instantiated model '%s'", model_name)
+
+    n_dev = len(jax.devices())
+    mesh = None
+    if (args.mesh_data or n_dev) > 1:
+        mesh = make_mesh(data=args.mesh_data or n_dev)
+        logger.info("data-parallel mesh: %s", mesh)
+
+    state, history = train_model_generic(
+        model, train_ds, test_ds, args.dataset, num_classes,
+        batch_size=args.batch_size, learning_rate=args.lr,
+        weight_decay=args.weight_decay, gamma=args.gamma, epochs=args.epoch,
+        seed=args.seed, l1_decay=args.l1_decay, mesh=mesh,
+        path=model_save_path, resume=args.resume, model_name=model_name)
+
+    write_results_csv(os.path.join(results_path, "experiment_results.csv"),
+                      model_name, history)
+    logger.info("Training process completed for model: %s", model_name)
+
+
+if __name__ == "__main__":
+    main()
