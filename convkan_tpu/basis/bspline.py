@@ -55,3 +55,33 @@ def bspline_basis(x, grid, spline_order: int):
         t2 = (g_rs - xe) / dd * bases[..., 1:]
         bases = t1 + t2
     return bases
+
+
+def bspline_basis_unrolled_list(x, knots, spline_order: int):
+    """Cox–de Boor with the knot vector unrolled into python scalars.
+
+    Numerically identical recurrence to `bspline_basis` (knot deltas are
+    pre-rounded at f32 like the reference's f32 grid arithmetic), but with
+    no captured constant arrays — required for use inside Pallas kernels,
+    and friendlier to the VPU (no broadcasts over a knot axis).
+    """
+    g32 = np.asarray(knots, np.float32)
+    kn = [float(v) for v in g32]
+    n = len(kn)
+    bases = [((x >= kn[i]) & (x < kn[i + 1])).astype(x.dtype)
+             for i in range(n - 1)]
+    for k in range(1, spline_order + 1):
+        new = []
+        for i in range(len(bases) - 1):
+            dr = float(g32[i + k] - g32[i]) or 1.0
+            dd = float(g32[i + k + 1] - g32[i + 1]) or 1.0
+            t1 = (x - kn[i]) / dr * bases[i]
+            t2 = (kn[i + k + 1] - x) / dd * bases[i + 1]
+            new.append(t1 + t2)
+        bases = new
+    return bases
+
+
+def bspline_basis_unrolled(x, knots, spline_order: int):
+    return jnp.stack(bspline_basis_unrolled_list(x, knots, spline_order),
+                     axis=-1)

@@ -11,6 +11,8 @@ import jax.numpy as jnp
 
 
 def fourier_basis(x, grid_size: int):
-    k = jnp.arange(1, grid_size + 1, dtype=x.dtype)
-    kx = x[..., None] * k
-    return jnp.concatenate([jnp.cos(kx), jnp.sin(kx)], axis=-1)
+    # unrolled over the (small, static) frequency count: no constant arange
+    # array, so the same function also runs inside Pallas kernels
+    cos = [jnp.cos(float(k) * x) for k in range(1, grid_size + 1)]
+    sin = [jnp.sin(float(k) * x) for k in range(1, grid_size + 1)]
+    return jnp.stack(cos + sin, axis=-1)

@@ -23,7 +23,22 @@ def chebyshev_basis(x, degree: int, epsilon: float = 1e-7):
     return jnp.stack([jnp.cos(n * theta) for n in range(degree + 1)], axis=-1)
 
 
-def legendre_basis(x, degree: int):
+def chebyshev_basis_recurrence_list(x, degree: int, epsilon: float = 1e-7):
+    """T_n via the three-term recurrence T_n = 2t T_{n-1} - T_{n-2} on
+    t = clamp(tanh x).  Mathematically identical to `chebyshev_basis`
+    (cos(n acos t) == T_n(t) for |t| <= 1) but avoids acos, which has no
+    Pallas TPU lowering — used inside fused kernels; ~1 ulp from the trig
+    form in f32."""
+    t = jnp.clip(jnp.tanh(x), -1.0 + epsilon, 1.0 - epsilon)
+    polys = [jnp.ones_like(t)]
+    if degree >= 1:
+        polys.append(t)
+        for _ in range(2, degree + 1):
+            polys.append(2.0 * t * polys[-1] - polys[-2])
+    return polys
+
+
+def legendre_basis_list(x, degree: int):
     """P_n = ((2n+1) x P_{n-1} - n P_{n-2}) / (n+1).
 
     layers/legendre_kan_layers.py:110-124.
@@ -33,7 +48,7 @@ def legendre_basis(x, degree: int):
         polys.append(x)
         for n in range(1, degree):
             polys.append(((2.0 * n + 1.0) * x * polys[-1] - n * polys[-2]) / (n + 1.0))
-    return jnp.stack(polys, axis=-1)
+    return polys
 
 
 def gram_basis(x, degree: int, beta_weights):
@@ -59,7 +74,7 @@ def gram_basis(x, degree: int, beta_weights):
     return jnp.stack(basis, axis=-1)
 
 
-def jacobi_basis(x, degree: int, a: float = 1.0, b: float = 1.0):
+def jacobi_basis_list(x, degree: int, a: float = 1.0, b: float = 1.0):
     """Jacobi P_n^{(a,b)} three-term recurrence
     (layers/jacobi_kan_layers.py:117-136)."""
     polys = [jnp.ones_like(x)]
@@ -74,7 +89,7 @@ def jacobi_basis(x, degree: int, a: float = 1.0, b: float = 1.0):
                 i * (i + a + b) * (2 * i + a + b - 2)
             )
             polys.append((theta_k * x + theta_k1) * polys[-1] - theta_k2 * polys[-2])
-    return jnp.stack(polys, axis=-1)
+    return polys
 
 
 def bernstein_basis(x, degree: int):
@@ -95,7 +110,7 @@ def bernstein_basis(x, degree: int):
     return jnp.stack(cols, axis=-1)
 
 
-def bessel_basis(x, degree: int):
+def bessel_basis_list(x, degree: int):
     """y_0=1, y_1=x+1, y_n=(2n-1) x y_{n-1} + y_{n-2}
     (layers/bessel_kan_layers.py:127-156)."""
     polys = [jnp.ones_like(x)]
@@ -103,10 +118,10 @@ def bessel_basis(x, degree: int):
         polys.append(x + 1.0)
         for i in range(2, degree + 1):
             polys.append((2 * i - 1) * x * polys[-1] + polys[-2])
-    return jnp.stack(polys, axis=-1)
+    return polys
 
 
-def fibonacci_basis(x, degree: int):
+def fibonacci_basis_list(x, degree: int):
     """F_0=0, F_1=1, F_n = x F_{n-1} + F_{n-2}
     (layers/fibonacci_kan_layers.py:133-168).  The first basis channel is all
     zeros, as in the reference."""
@@ -115,10 +130,10 @@ def fibonacci_basis(x, degree: int):
         polys.append(jnp.ones_like(x))
         for i in range(2, degree + 1):
             polys.append(x * polys[-1] + polys[-2])
-    return jnp.stack(polys, axis=-1)
+    return polys
 
 
-def gegenbauer_basis(x, degree: int, alpha: float):
+def gegenbauer_basis_list(x, degree: int, alpha: float):
     """C_0=1, C_1=2αx, C_{n+1} = (2(n+α) x C_n - (n+2α-1) C_{n-1})/(n+1)
     (layers/gegenbauer_kan_layers.py:133-156)."""
     polys = [jnp.ones_like(x)]
@@ -128,10 +143,10 @@ def gegenbauer_basis(x, degree: int, alpha: float):
             t1 = 2.0 * (n + alpha) * x * polys[-1]
             t2 = (n + 2.0 * alpha - 1.0) * polys[-2]
             polys.append((t1 - t2) / (n + 1))
-    return jnp.stack(polys, axis=-1)
+    return polys
 
 
-def hermite_basis(x, degree: int):
+def hermite_basis_list(x, degree: int):
     """Physicists' Hermite: H_0=1, H_1=2x, H_n = 2x H_{n-1} - 2(n-1) H_{n-2}
     (layers/hermite_kan_layers.py:117-148)."""
     polys = [jnp.ones_like(x)]
@@ -139,10 +154,10 @@ def hermite_basis(x, degree: int):
         polys.append(2.0 * x)
         for i in range(2, degree + 1):
             polys.append(2.0 * x * polys[-1] - 2.0 * (i - 1) * polys[-2])
-    return jnp.stack(polys, axis=-1)
+    return polys
 
 
-def laguerre_basis(x, degree: int, alpha: float):
+def laguerre_basis_list(x, degree: int, alpha: float):
     """Generalized Laguerre: L_0=1, L_1=1+α-x,
     k L_k = (2k-1+α-x) L_{k-1} - (k-1+α) L_{k-2}
     (layers/laguerre_kan_layers.py:132-167)."""
@@ -153,10 +168,10 @@ def laguerre_basis(x, degree: int, alpha: float):
             t1 = (2 * (k - 1) + 1 + alpha - x) * polys[-1]
             t2 = (k - 1 + alpha) * polys[-2]
             polys.append((t1 - t2) / k)
-    return jnp.stack(polys, axis=-1)
+    return polys
 
 
-def lucas_basis(x, degree: int):
+def lucas_basis_list(x, degree: int):
     """L_0=2, L_1=x, L_n = x L_{n-1} + L_{n-2}
     (layers/lucas_kan_layers.py:146-170)."""
     polys = [2.0 * jnp.ones_like(x)]
@@ -164,7 +179,7 @@ def lucas_basis(x, degree: int):
         polys.append(x)
         for i in range(2, degree + 1):
             polys.append(x * polys[-1] + polys[-2])
-    return jnp.stack(polys, axis=-1)
+    return polys
 
 
 def taylor_basis(x, degree: int):
@@ -180,3 +195,52 @@ def taylor_basis(x, degree: int):
     else:
         polys += [jnp.zeros_like(x)] * (degree - 1)
     return jnp.stack(polys[:degree], axis=-1) if degree > 0 else jnp.zeros(x.shape + (0,), x.dtype)
+
+
+def _stacked(list_fn):
+    def fn(x, *args, **kwargs):
+        return jnp.stack(list_fn(x, *args, **kwargs), axis=-1)
+    fn.__name__ = list_fn.__name__.replace("_list", "")
+    return fn
+
+
+def bernstein_basis_list(x, degree: int):
+    """List form of `bernstein_basis` (same de-Casteljau computation)."""
+    cols = [jnp.ones_like(x) for _ in range(degree + 1)]
+    for j in range(1, degree + 1):
+        num_updates = degree + 1 - j
+        new_cols = [cols[i] * (1 - x) + cols[i + 1] * x
+                    for i in range(num_updates)]
+        cols = new_cols + cols[num_updates:]
+    return cols
+
+
+def taylor_basis_list(x, degree: int):
+    """List form of `taylor_basis` (monomials of tanh-squashed input except
+    the raw-ones slot 0)."""
+    polys = [jnp.ones_like(x)]
+    if degree > 1:
+        polys.append(x)
+        for i in range(2, degree):
+            polys.append(polys[-1] * x)
+    else:
+        polys += [jnp.zeros_like(x)] * (degree - 1)
+    return polys[:degree]
+
+
+def fourier_basis_list(x, grid_size: int):
+    cos = [jnp.cos(float(k) * x) for k in range(1, grid_size + 1)]
+    sin = [jnp.sin(float(k) * x) for k in range(1, grid_size + 1)]
+    return cos + sin
+
+
+# Stacked views (public API / jnp path)
+chebyshev_basis_recurrence = _stacked(chebyshev_basis_recurrence_list)
+legendre_basis = _stacked(legendre_basis_list)
+jacobi_basis = _stacked(jacobi_basis_list)
+bessel_basis = _stacked(bessel_basis_list)
+fibonacci_basis = _stacked(fibonacci_basis_list)
+gegenbauer_basis = _stacked(gegenbauer_basis_list)
+hermite_basis = _stacked(hermite_basis_list)
+laguerre_basis = _stacked(laguerre_basis_list)
+lucas_basis = _stacked(lucas_basis_list)

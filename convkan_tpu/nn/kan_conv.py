@@ -180,6 +180,12 @@ class KanConvND(nn.Module):
     # optional explicit knot/center vector (e.g. a torch-exported grid whose
     # f32 linspace rounding differs from numpy's by 1 ulp)
     grid_override: Any = None
+    # fused Pallas kernel: False (default — XLA's conv fusion pipeline
+    # measures faster on v5e for these shapes; see kernels/fused_kan_conv.py
+    # header), 'auto' (engage on TPU when the config is supported), or True
+    # (force; tests use pallas_interpret on CPU)
+    use_pallas: Any = False
+    pallas_interpret: bool = False
     param_dtype: Any = jnp.float32
 
     @property
@@ -350,8 +356,8 @@ class KanConvND(nn.Module):
         if spec.dropout_site == "input" and train:
             x = self._channel_dropout(x, train)
 
-        # ---------------- base path
-        base_out = None
+        # parameters (created up front so the fused and jnp paths share them)
+        base_w = None
         if spec.has_base:
             base_w = self.param(
                 "base_w",
@@ -359,6 +365,23 @@ class KanConvND(nn.Module):
                 kshape + (self.in_g, self.output_dim),
                 self.param_dtype,
             )
+        poly_w = self.param(
+            "poly_w",
+            self._poly_initializer(),
+            kshape + (self.in_g * K, self.output_dim),
+            self.param_dtype,
+        )
+
+        # ---------------- fused Pallas path (TPU): basis expansion + both
+        # convs in one kernel, no HBM basis tensor
+        fused = self._maybe_fused(x, base_w, poly_w, act, train, kshape)
+        if fused is not None:
+            y = fused
+            return self._post_combine(y, act, train)
+
+        # ---------------- base path
+        base_out = None
+        if spec.has_base:
             base_in = act(x) if spec.base_input == "act" else x
             base_out = conv_nd(base_in, base_w, **conv_kwargs)
 
@@ -443,17 +466,13 @@ class KanConvND(nn.Module):
             basis = flat.reshape(basis.shape)
 
         basis_flat = self._flatten_basis(basis)
-        poly_w = self.param(
-            "poly_w",
-            self._poly_initializer(),
-            kshape + (self.in_g * K, self.output_dim),
-            self.param_dtype,
-        )
         spline_out = conv_nd(basis_flat, poly_w, **conv_kwargs)
 
         y = spline_out if base_out is None else base_out + spline_out
+        return self._post_combine(y, act, train)
 
-        # ---------------- post-combine
+    def _post_combine(self, y, act, train):
+        spec = self.spec
         if spec.norm_on == "output":
             norm = make_norm(self.norm_layer, self.output_dim,
                              **dict(self.norm_kwargs))
@@ -473,6 +492,97 @@ class KanConvND(nn.Module):
         if spec.dropout_site == "output" and train:
             y = self._channel_dropout(y, train)
         return y
+
+    # families whose basis is a pure static function of the input (no
+    # learnable/basis-time parameters, no global batch statistics)
+    _FUSABLE = frozenset({
+        "kan", "cheby", "jacobi", "bernstein", "bessel", "fibonacci",
+        "fourier", "gegenbauer", "hermite", "laguerre", "lucas", "taylor",
+    })
+
+    def _fused_basis_list_fn(self):
+        """Kernel-side basis: a function returning a LIST of K (..., C)
+        arrays (Mosaic cannot reshape a trailing (C, K) pair), with the
+        family squash folded in and no captured constant arrays."""
+        from ..basis import poly as P
+        from ..basis.bspline import bspline_basis_unrolled_list
+        from ..basis.fourier import fourier_basis  # noqa: F401
+        from ..basis.poly import fourier_basis_list
+
+        fam = self.family
+        spec = self.spec
+        sq = {"tanh": jnp.tanh, "sigmoid": jax.nn.sigmoid}.get(spec.squash)
+        d = self.degree
+
+        if fam == "kan":
+            knots = (tuple(self.grid_override)
+                     if self.grid_override is not None
+                     else tuple(float(v) for v in make_bspline_grid(
+                         self.grid_size, self.spline_order, self.grid_range)))
+            return lambda xt: bspline_basis_unrolled_list(
+                xt, knots, self.spline_order)
+        if fam == "cheby":
+            # acos has no Mosaic lowering; the recurrence form is
+            # mathematically identical
+            return lambda xt: P.chebyshev_basis_recurrence_list(
+                xt, d, self.epsilon)
+        if fam == "taylor":
+            return lambda xt: P.taylor_basis_list(jnp.tanh(xt), d)
+        if fam == "fourier":
+            return lambda xt: fourier_basis_list(xt, self.grid_size)
+
+        fns = {
+            "jacobi": lambda t: P.jacobi_basis_list(t, d, self.a, self.b),
+            "bernstein": lambda t: P.bernstein_basis_list(t, d),
+            "bessel": lambda t: P.bessel_basis_list(t, d),
+            "fibonacci": lambda t: P.fibonacci_basis_list(t, d),
+            "gegenbauer": lambda t: P.gegenbauer_basis_list(
+                t, d, self.alpha_param),
+            "hermite": lambda t: P.hermite_basis_list(t, d),
+            "laguerre": lambda t: P.laguerre_basis_list(t, d, self.alpha),
+            "lucas": lambda t: P.lucas_basis_list(t, d),
+        }
+        fn = fns[fam]
+        return lambda xt: fn(sq(xt) if sq is not None else xt)
+
+    def _maybe_fused(self, x, base_w, poly_w, act, train, kshape):
+        """Returns the fused pre-norm output, or None to use the jnp path."""
+        import jax as _jax
+
+        from ..kernels.fused_kan_conv import make_fused_kan_conv_op, supported
+
+        spec = self.spec
+        if not self.use_pallas or self.family not in self._FUSABLE:
+            return None
+        if self.use_pallas == "auto" and _jax.default_backend() != "tpu":
+            return None
+        # pre-basis dropout can't cross the kernel boundary
+        if train and self.dropout > 0 and spec.dropout_site != "output":
+            return None
+        if len(set(kshape)) != 1 or x.dtype != jnp.float32:
+            return None
+        pad = self.padding
+        if isinstance(pad, (tuple, list)):
+            if len(set(pad)) != 1:
+                return None
+            pad = pad[0]
+        B, H, W, C = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
+        if not supported(self.ndim, self.stride, self.dilation, self.groups,
+                         kshape[0], H, W, C, self.num_basis,
+                         self.output_dim, pad):
+            return None
+
+        basis_list_fn = self._fused_basis_list_fn()
+        base_act = None
+        if spec.has_base and spec.base_input == "act":
+            base_act = act
+        op, _ = make_fused_kan_conv_op(
+            basis_list_fn=basis_list_fn, num_basis=self.num_basis,
+            base_act=base_act, kernel_size=kshape[0], padding=int(pad),
+            degree_major=(spec.layout == "degree_major"),
+            has_base=spec.has_base, interpret=self.pallas_interpret)
+        dummy = base_w if base_w is not None else jnp.zeros((), x.dtype)
+        return op(x, dummy, poly_w)
 
 
 def make_kan_conv(family: str, ndim: int, **kwargs) -> KanConvND:
