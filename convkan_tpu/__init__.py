@@ -18,6 +18,6 @@ Layout conventions (TPU-first, deliberately different from the reference):
 
 __version__ = "0.1.0"
 
-from . import basis, factory, nn, ops, parallel, train, utils  # noqa: F401
+from . import basis, config, factory, nn, ops, parallel, train, utils  # noqa: F401
 
 from .factory import CONV_KAN_FACTORY, MLP_KAN_FACTORY  # noqa: F401

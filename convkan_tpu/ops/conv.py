@@ -55,7 +55,19 @@ def conv_nd(
     pad = _to_tuple(padding, ndim)
     pad_spec = [(p, p) for p in pad]
     dn = conv_dimension_numbers(ndim)
-    return lax.conv_general_dilated(
+
+    # mixed precision: run the contraction fully in bf16 (XLA's TPU conv
+    # still accumulates at f32 internally) and cast the result back, so the
+    # autodiff transpose convs also see uniform bf16 operands
+    from .. import config as _cfg
+
+    out_dtype = jnp.result_type(x.dtype, w.dtype)
+    md = _cfg.get_matmul_dtype()
+    cast_back = md == "bfloat16" and out_dtype == jnp.float32
+    if cast_back:
+        x = x.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
+    y = lax.conv_general_dilated(
         x,
         w,
         window_strides=stride,
@@ -66,6 +78,7 @@ def conv_nd(
         feature_group_count=groups,
         precision=precision,
     )
+    return y.astype(out_dtype) if cast_back else y
 
 
 def same_padding(kernel_size: IntOrTuple, dilation: IntOrTuple, ndim: int = 2):

@@ -1,0 +1,69 @@
+"""Tensor-parallel sharding rules (GSPMD-style).
+
+The KAN conv's grouped structure makes output-channel sharding natural —
+each group/output block is independent until the next layer's contraction
+(SURVEY.md §2.5).  We annotate parameter PartitionSpecs over the 'model'
+mesh axis and let XLA's SPMD partitioner insert the collectives over ICI;
+no hand-written communication.
+
+Rules:
+  * conv weights (*k, I, O) and linear weights (I, O): shard O over 'model'
+    when divisible by the axis size;
+  * per-channel vectors (biases, norm scales) sharded over 'model' likewise;
+  * everything else replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _spec_for(x, model_size: int, min_dim: int = 2) -> P:
+    if x.ndim >= 2 and x.shape[-1] >= min_dim and x.shape[-1] % model_size == 0:
+        return P(*([None] * (x.ndim - 1)), "model")
+    return P()
+
+
+def param_partition_specs(params, mesh: Mesh, min_dim: int = 2):
+    """PartitionSpec pytree for a params tree: output-channel TP."""
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    if model_size <= 1:
+        return jax.tree_util.tree_map(lambda _: P(), params)
+    return jax.tree_util.tree_map(
+        lambda x: _spec_for(x, model_size, min_dim), params)
+
+
+def shard_params(params, mesh: Mesh, min_dim: int = 2):
+    """Device-put a params tree with TP shardings."""
+    specs = param_partition_specs(params, mesh, min_dim)
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+
+
+def state_shardings(state, mesh: Mesh, min_dim: int = 2):
+    """NamedSharding pytree matching a TrainState: params + opt_state get
+    the TP rules (optimizer moments share the param shapes), scalars and
+    batch stats replicate."""
+    def to_sharding(spec_tree):
+        return jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), spec_tree,
+            is_leaf=lambda s: isinstance(s, P))
+
+    p_specs = param_partition_specs(state.params, mesh, min_dim)
+    repl = NamedSharding(mesh, P())
+
+    def opt_spec(x):
+        return _spec_for(x, dict(zip(mesh.axis_names,
+                                     mesh.devices.shape)).get("model", 1),
+                         min_dim) if hasattr(x, "ndim") else P()
+
+    return state.replace(
+        step=repl,
+        params=to_sharding(p_specs),
+        opt_state=jax.tree_util.tree_map(
+            lambda x: NamedSharding(mesh, opt_spec(x)), state.opt_state),
+        batch_stats=jax.tree_util.tree_map(lambda _: repl, state.batch_stats),
+    )

@@ -48,7 +48,7 @@ def _shardings(mesh):
 
 
 def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
-                    mesh=None):
+                    mesh=None, state_shardings=None):
     def step(state: TrainState, rng, x_uint8, labels):
         rng = jax.random.fold_in(rng, state.step)
         aug_rng, drop_rng = jax.random.split(rng)
@@ -75,10 +75,14 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
     repl, batch = _shardings(mesh)
     if mesh is None:
         return jax.jit(step, donate_argnums=0)
+    # tensor parallelism: pass a TrainState-shaped tree of NamedShardings
+    # (parallel.sharding.state_shardings) to shard params/opt-state over
+    # the 'model' axis; XLA SPMD inserts the ICI collectives
+    st_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(
         step, donate_argnums=0,
-        in_shardings=(repl, repl, batch, batch),
-        out_shardings=(repl, repl),
+        in_shardings=(st_sh, repl, batch, batch),
+        out_shardings=(st_sh, repl),
     )
 
 
