@@ -20,8 +20,8 @@ import os
 import time
 
 BATCH = 128
-STEPS = 20
-WARMUP = 3
+STEPS = 30
+WARMUP = 5
 ARCH = "VGG16_small"
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "baseline_measured.json")

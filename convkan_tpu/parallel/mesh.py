@@ -29,9 +29,41 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def make_multislice_mesh(data_per_slice: Optional[int] = None,
+                         model: int = 1, n_slices: Optional[int] = None
+                         ) -> Mesh:
+    """Multi-slice mesh: a leading 'dcn' axis across slices (gradient
+    all-reduce rides DCN), 'data'/'model' within a slice (ICI).
+
+    Requires jax.distributed.initialize() on multi-host deployments; uses
+    mesh_utils' hybrid mesh so ICI-contiguous devices stay within the inner
+    axes.  Single-slice environments fall back to make_mesh.
+    """
+    import jax.experimental.mesh_utils as mesh_utils
+
+    n_slices = n_slices or getattr(jax.devices()[0], "num_slices", 1)
+    if n_slices <= 1:
+        m = make_mesh(data=data_per_slice, model=model)
+        arr = m.devices.reshape((1,) + m.devices.shape)
+        return Mesh(arr, ("dcn",) + m.axis_names)
+    per_slice = len(jax.devices()) // n_slices
+    data_per_slice = data_per_slice or per_slice // model
+    dev = mesh_utils.create_hybrid_device_mesh(
+        (data_per_slice, model), (n_slices, 1))
+    # hybrid mesh returns (dcn*data, model); reshape to (dcn, data, model)
+    arr = dev.reshape(n_slices, data_per_slice, model)
+    return Mesh(arr, ("dcn", "data", "model"))
+
+
+def batch_axes(mesh: Mesh):
+    """The mesh axes the batch dimension shards over ('dcn' first when a
+    multi-slice axis exists)."""
+    return tuple(ax for ax in ("dcn", "data") if ax in mesh.axis_names)
+
+
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (batch) axis over 'data'; replicate the rest."""
-    spec = P("data", *([None] * (ndim - 1)))
+    """Shard the leading (batch) axis over the data axes; replicate rest."""
+    spec = P(batch_axes(mesh), *([None] * (ndim - 1)))
     return NamedSharding(mesh, spec)
 
 

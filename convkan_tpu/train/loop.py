@@ -42,8 +42,10 @@ logger = logging.getLogger(__name__)
 def _shardings(mesh):
     if mesh is None:
         return None, None
+    from ..parallel.mesh import batch_axes
+
     repl = NamedSharding(mesh, P())
-    batch = NamedSharding(mesh, P("data"))
+    batch = NamedSharding(mesh, P(batch_axes(mesh)))
     return repl, batch
 
 

