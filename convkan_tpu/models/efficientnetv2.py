@@ -84,6 +84,73 @@ def efficientnetv2_conf(arch: str, width_mult=1.0, depth_mult=1.0
             for bt, t, k, s, ci, co, n, se in tables[arch]]
 
 
+
+class _EffBlock(nn.Module):
+    """One Fused-MBConv / MBConv block, extracted as a module so the whole
+    block can be rematerialized (jax.checkpoint) — at 224^2 the autodiff
+    temporaries of the basis-expanded convs exceed HBM without remat."""
+
+    mc: Mapping[str, Any]
+    cfg: MBConfig
+    ci: int
+    stride: int
+    sd: float
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        mc = dict(self.mc)
+        cfg = self.cfg
+        act = mc["base_activation"] or "silu"
+        conv = make_conv_factory(
+            mc["conv_type"], mc["kan_conv"], spline_order=mc["spline_order"],
+            grid_size=mc["grid_size"], base_activation=act,
+            grid_range=mc["grid_range"], dropout=mc["conv_dropout"],
+            l1_decay=mc["l1_decay"], degree=mc["degree"],
+            norm_layer=mc["norm_layer"], kan_norm_layer=mc["kan_norm_layer"],
+            affine=mc["affine"])
+
+        def std_dw(c, k, stride):
+            return StdConvBlock(
+                in_planes=c, out_planes=c, kernel_size=k, stride=stride,
+                padding=(k - 1) // 2, groups=c, base_activation=act,
+                norm_layer=resolve_norm(mc["norm_layer"]),
+                norm_kwargs={"affine": mc["affine"]})
+
+        ci, stride = self.ci, self.stride
+        expanded = _make_divisible(ci * cfg.expand_ratio, 8)
+        use_res = stride == 1 and ci == cfg.out_channels
+        y = x
+        if cfg.block_type == "fused":
+            # kan_efficientnetv2.py:133-195
+            if expanded != ci:
+                y = conv(ci, expanded, kernel_size=cfg.kernel,
+                         stride=stride)(y, train=train)
+                y = conv(expanded, cfg.out_channels, kernel_size=1,
+                         stride=1)(y, train=train)
+            else:
+                y = conv(ci, cfg.out_channels, kernel_size=cfg.kernel,
+                         stride=stride)(y, train=train)
+        else:
+            # kan_efficientnetv2.py:197-274
+            if expanded != ci:
+                y = conv(ci, expanded, kernel_size=1)(y, train=train)
+            if mc["replace_depthwise"] and mc["conv_type"] == "kanconv":
+                y = conv(expanded, expanded, kernel_size=cfg.kernel,
+                         stride=stride, groups=expanded)(y, train=train)
+            else:
+                y = std_dw(expanded, cfg.kernel, stride)(y, train=train)
+            if cfg.se_ratio is not None and cfg.se_ratio > 0:
+                squeeze = max(1, int(ci * cfg.se_ratio))
+                y = SqueezeExcitation(
+                    input_channels=expanded, squeeze_channels=squeeze,
+                    activation=jax.nn.silu)(y)
+            y = conv(expanded, cfg.out_channels, kernel_size=1)(y, train=train)
+        if use_res:
+            y = DropPath(drop_prob=self.sd)(y, train=train)
+            y = x + y
+        return y
+
+
 class EfficientNetV2KAN(nn.Module):
     """Shared EfficientNet engine (also powers V1 via all-mbconv settings)."""
 
@@ -114,6 +181,9 @@ class EfficientNetV2KAN(nn.Module):
     head_hidden_dim: int = 1024
     name_prefix: str = "EfficientNetV2"
     arch_tag: str = "s"
+    # rematerialize each block under autodiff (jax.checkpoint): trades
+    # recompute for HBM — required for 224^2 training on a single v5e
+    remat: bool = True
     classifier_overrides: Mapping[str, Any] = dataclasses.field(
         default_factory=dict)
 
@@ -149,6 +219,17 @@ class EfficientNetV2KAN(nn.Module):
         x = conv(self.in_channels, settings[0].input_channels, kernel_size=3,
                  stride=self.stem_stride)(x, train=train)
 
+        mc = dict(
+            conv_type=self.conv_type, kan_conv=self.kan_conv,
+            spline_order=self.spline_order, grid_size=self.grid_size,
+            base_activation=self.base_activation, grid_range=self.grid_range,
+            conv_dropout=self.conv_dropout, l1_decay=self.l1_decay,
+            degree=self.degree, norm_layer=self.norm_layer,
+            kan_norm_layer=self.kan_norm_layer, affine=self.affine,
+            replace_depthwise=self.replace_depthwise)
+        BlockCls = (nn.remat(_EffBlock, static_argnums=(2,)) if self.remat
+                    else _EffBlock)
+
         total_blocks = sum(c.num_layers for c in settings)
         block_id = 0
         for cfg in settings:
@@ -156,43 +237,8 @@ class EfficientNetV2KAN(nn.Module):
                 sd = self.stochastic_depth_prob * block_id / total_blocks
                 ci = cfg.input_channels if j == 0 else cfg.out_channels
                 stride = cfg.stride if j == 0 else 1
-                expanded = _make_divisible(ci * cfg.expand_ratio, 8)
-                use_res = stride == 1 and ci == cfg.out_channels
-                y = x
-                if cfg.block_type == "fused":
-                    # kan_efficientnetv2.py:133-195
-                    if expanded != ci:
-                        y = conv(ci, expanded, kernel_size=cfg.kernel,
-                                 stride=stride)(y, train=train)
-                        y = conv(expanded, cfg.out_channels, kernel_size=1,
-                                 stride=1)(y, train=train)
-                    else:
-                        y = conv(ci, cfg.out_channels,
-                                 kernel_size=cfg.kernel, stride=stride)(
-                                     y, train=train)
-                else:
-                    # kan_efficientnetv2.py:197-274
-                    if expanded != ci:
-                        y = conv(ci, expanded, kernel_size=1)(y, train=train)
-                    if self.replace_depthwise and self.conv_type == "kanconv":
-                        y = conv(expanded, expanded, kernel_size=cfg.kernel,
-                                 stride=stride, groups=expanded)(
-                                     y, train=train)
-                    else:
-                        y = std_dw(expanded, cfg.kernel, stride)(
-                            y, train=train)
-                    if cfg.se_ratio is not None and cfg.se_ratio > 0:
-                        squeeze = max(1, int(ci * cfg.se_ratio))
-                        y = SqueezeExcitation(
-                            input_channels=expanded,
-                            squeeze_channels=squeeze,
-                            activation=jax.nn.silu)(y)
-                    y = conv(expanded, cfg.out_channels, kernel_size=1)(
-                        y, train=train)
-                if use_res:
-                    y = DropPath(drop_prob=sd)(y, train=train)
-                    y = x + y
-                x = y
+                x = BlockCls(mc=mc, cfg=cfg, ci=ci, stride=stride, sd=sd)(
+                    x, train)
                 block_id += 1
 
         last_in = settings[-1].out_channels

@@ -88,6 +88,68 @@ def mobilenet_v3_conf(arch: str, width_mult: float = 1.0,
     return cfgs, last_channel
 
 
+
+class _MNV3Block(nn.Module):
+    """One inverted-residual block, extracted for rematerialization
+    (jax.checkpoint) — 224^2 training exceeds HBM without it."""
+
+    mc: Mapping[str, Any]
+    cnf: IRConfig
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        mc = dict(self.mc)
+        cnf = self.cnf
+        act = "hardswish" if cnf.use_hs else "relu"
+
+        def conv_block(in_c, out_c, k, stride, groups, dilation=1):
+            if mc["conv_type"] == "kanconv":
+                f = make_conv_factory(
+                    mc["conv_type"], mc["kan_conv"],
+                    spline_order=mc["spline_order"], grid_size=mc["grid_size"],
+                    base_activation=act, grid_range=mc["grid_range"],
+                    dropout=mc["conv_dropout"], l1_decay=mc["l1_decay"],
+                    degree=mc["degree"], norm_layer=mc["norm_layer"],
+                    kan_norm_layer=mc["kan_norm_layer"], affine=mc["affine"],
+                    **mc["norm_extra"])
+                return f(in_c, out_c, kernel_size=k, stride=stride,
+                         groups=groups, dilation=dilation)
+            return StdConvBlock(
+                in_planes=in_c, out_planes=out_c, kernel_size=k,
+                stride=stride, padding=dilation * (k - 1) // 2, groups=groups,
+                dilation=dilation, base_activation=act,
+                norm_layer=resolve_norm(mc["norm_layer"]),
+                norm_kwargs=dict(mc["norm_kwargs"]))
+
+        def std_dw(c, k, stride, dilation):
+            return StdConvBlock(
+                in_planes=c, out_planes=c, kernel_size=k, stride=stride,
+                padding=dilation * (k - 1) // 2, groups=c, dilation=dilation,
+                base_activation=act, norm_layer=resolve_norm(mc["norm_layer"]),
+                norm_kwargs=dict(mc["norm_kwargs"]))
+
+        use_res = cnf.stride == 1 and cnf.input_channels == cnf.out_channels
+        y = x
+        if cnf.expanded_channels != cnf.input_channels:
+            y = conv_block(cnf.input_channels, cnf.expanded_channels, 1, 1, 1)(
+                y, train=train)
+        stride = 1 if cnf.dilation > 1 else cnf.stride
+        ec = cnf.expanded_channels
+        if mc["replace_depthwise"] and mc["conv_type"] == "kanconv":
+            y = conv_block(ec, ec, cnf.kernel, stride, ec, cnf.dilation)(
+                y, train=train)
+        else:
+            y = std_dw(ec, cnf.kernel, stride, cnf.dilation)(y, train=train)
+        if cnf.use_se:
+            squeeze = _make_divisible(ec // 4, 8)
+            y = SqueezeExcitation(
+                input_channels=ec, squeeze_channels=squeeze,
+                activation=jax.nn.relu,
+                scale_activation=jax.nn.hard_sigmoid)(y)
+        y = conv_block(ec, cnf.out_channels, 1, 1, 1)(y, train=train)
+        return x + y if use_res else y
+
+
 class MobileNetV3KAN(nn.Module):
     arch: str
     num_classes: int = 1000
@@ -112,6 +174,8 @@ class MobileNetV3KAN(nn.Module):
     kan_norm_layer: Any = BatchNorm
     replace_depthwise: bool = False
     conv_dropout: float = 0.0
+    # rematerialize blocks under autodiff — needed for 224^2 training
+    remat: bool = True
     classifier_overrides: Mapping[str, Any] = dataclasses.field(
         default_factory=dict)
 
@@ -167,29 +231,20 @@ class MobileNetV3KAN(nn.Module):
         x = block(self.input_channels, first_c, 3, 2, 1, act_name)(
             x, train=train)
 
+        mc = dict(
+            conv_type=self.conv_type, kan_conv=self.kan_conv,
+            spline_order=self.spline_order, grid_size=self.grid_size,
+            grid_range=self.grid_range, conv_dropout=self.conv_dropout,
+            l1_decay=self.l1_decay, degree=self.degree,
+            norm_layer=self.norm_layer, kan_norm_layer=self.kan_norm_layer,
+            affine=self.affine, replace_depthwise=self.replace_depthwise,
+            norm_kwargs=dict(norm_kwargs),
+            norm_extra=({"eps": 0.001, "momentum": 0.01}
+                        if "eps" in norm_kwargs else {}))
+        BlockCls = (nn.remat(_MNV3Block, static_argnums=(2,)) if self.remat
+                    else _MNV3Block)
         for cnf in cfgs:
-            act = "hardswish" if cnf.use_hs else "relu"
-            use_res = cnf.stride == 1 and cnf.input_channels == cnf.out_channels
-            y = x
-            if cnf.expanded_channels != cnf.input_channels:
-                y = block(cnf.input_channels, cnf.expanded_channels, 1, 1, 1,
-                          act)(y, train=train)
-            stride = 1 if cnf.dilation > 1 else cnf.stride
-            ec = cnf.expanded_channels
-            if self.replace_depthwise and self.conv_type == "kanconv":
-                y = block(ec, ec, cnf.kernel, stride, ec, act,
-                          cnf.dilation)(y, train=train)
-            else:
-                y = std_block(ec, ec, cnf.kernel, stride, ec, cnf.dilation,
-                              act)(y, train=train)
-            if cnf.use_se:
-                squeeze = _make_divisible(ec // 4, 8)
-                y = SqueezeExcitation(
-                    input_channels=ec, squeeze_channels=squeeze,
-                    activation=jax.nn.relu,
-                    scale_activation=jax.nn.hard_sigmoid)(y)
-            y = block(ec, cnf.out_channels, 1, 1, 1, act)(y, train=train)
-            x = x + y if use_res else y
+            x = BlockCls(mc=mc, cnf=cnf)(x, train)
 
         last_in = cfgs[-1].out_channels
         last_out = cfgs[-1].expanded_channels

@@ -152,3 +152,89 @@ def convert_wavkan_conv(sd: Mapping[str, np.ndarray], groups: int,
 def convert_linear(w: np.ndarray) -> np.ndarray:
     """torch (O, I) -> (I, O)."""
     return np.asarray(w).T
+
+
+# reference factory keys -> convkan_tpu family strings
+REF_FAMILY = {
+    "KAN": "kan", "FastKAN": "fastkan", "ChebyKAN": "cheby",
+    "LegendreKAN": "legendre", "GRAMKAN": "gram", "JacobiKAN": "jacobi",
+    "BersnsteinKAN": "bernstein", "BesselKAN": "bessel",
+    "FibonacciKAN": "fibonacci", "FourierKAN": "fourier",
+    "GegenbauerKAN": "gegenbauer", "HermiteKAN": "hermite",
+    "LaguerreKAN": "laguerre", "LucasKAN": "lucas", "ReLUKAN": "relukan",
+    "TaylorKAN": "taylor",
+}
+
+
+def convert_vggkan(sd: Mapping[str, np.ndarray], model, variables):
+    """Migrate a reference VGGKAN state_dict (models/kan_vgg.py:190) into
+    convkan_tpu.models.VGGKAN variables.
+
+    Supports every kanconv family for the feature extractor and the
+    Linear / 'KAN' (B-spline stack) classifier heads.  `variables` is an
+    init tree of the target model (provides scope names / shapes).
+    """
+    import jax
+
+    family = REF_FAMILY[model.kan_conv or "KAN"]
+    params = dict(jax.tree_util.tree_map(np.asarray,
+                                         jax.device_get(variables))["params"])
+
+    # feature convs: reference indices include the parameter-less MaxPool
+    # entries; enumerate the indices that actually carry conv params
+    feat_idx = sorted({int(k.split(".")[1]) for k in sd
+                       if k.startswith("features.")})
+    for j, idx in enumerate(feat_idx):
+        sub = {k[len(f"features.{idx}."):]: v for k, v in sd.items()
+               if k.startswith(f"features.{idx}.")}
+        # unwrap the L1 module wrapper if present (keys 'module.*')
+        if any(k.startswith("module.") for k in sub):
+            sub = {k[len("module."):]: v for k, v in sub.items()}
+        conv = convert_kan_conv(sub, family, model.groups)
+        scope = f"KanConvND_{j}"
+        assert scope in params, f"{scope} not in {sorted(params)[:8]}..."
+        tgt = dict(params[scope])
+        for k, v in conv.items():
+            if not k.startswith("__"):
+                tgt[k] = np.asarray(v)
+        params[scope] = tgt
+
+    # classifier
+    if model.classifier_type == "Linear":
+        w = sd["classifier.1.weight"]
+        params["Linear_0"] = {"w": convert_linear(w),
+                              "b": np.asarray(sd["classifier.1.bias"])}
+    elif model.classifier_type == "KAN":
+        # Sequential(Dropout, KAN-stack): classifier.1.layers.{j}.*
+        stack = {k[len("classifier.1."):]: v for k, v in sd.items()
+                 if k.startswith("classifier.1.")}
+        mlp_scope = next(k for k in params if k.startswith("KanMLP"))
+        mlp = dict(params[mlp_scope])
+        j = 0
+        while any(k.startswith(f"layers.{j}.") for k in stack):
+            sub = {k[len(f"layers.{j}."):]: v for k, v in stack.items()
+                   if k.startswith(f"layers.{j}.")}
+            if not sub:
+                j += 1
+                continue
+            if "base_weight" in sub:  # a KANLayer (b-spline head)
+                scope = f"KANLinear_{j}"
+                K = sub["spline_weight"].shape[-1]
+                out_f = sub["base_weight"].shape[0]
+                inner = dict(mlp[scope])
+                inner["base_w"] = convert_linear(sub["base_weight"])
+                inner["spline_w"] = convert_linear(
+                    sub["spline_weight"].reshape(out_f, -1))
+                inner["prelu"] = np.asarray(sub["prelu.weight"]).reshape(())
+                ln = dict(inner["LayerNorm_0"])
+                ln["weight"] = np.asarray(sub["layer_norm.weight"])
+                ln["bias"] = np.asarray(sub["layer_norm.bias"])
+                inner["LayerNorm_0"] = ln
+                mlp[scope] = inner
+            j += 1
+        params[mlp_scope] = mlp
+    out = {"params": params}
+    for col, v in variables.items():
+        if col != "params":
+            out[col] = v
+    return out

@@ -1,0 +1,38 @@
+"""Whole-model reference-checkpoint migration: load a trained reference
+VGGKAN state_dict into convkan_tpu.models.VGGKAN and match its forward
+end-to-end — the strongest parity test and the user migration path."""
+
+import jax
+import numpy as np
+
+from convkan_tpu.models import vggkan
+from convkan_tpu.utils.torch_compat import convert_vggkan
+
+from golden_utils import assert_close, load_golden, nchw_to_nhwc
+
+
+def _run(name, **model_kw):
+    x, y_ref, sd = load_golden(name)
+    model = vggkan(3, 10, arch="VGG16_kansmall", **model_kw)
+    xh = nchw_to_nhwc(x)
+    # init in f32 (module param_dtype); the converted reference params are
+    # f64 and drive an f64 forward
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(jax.random.PRNGKey(0), xh.astype(np.float32))
+    variables = convert_vggkan(sd, model, variables)
+    y = model.apply(variables, xh, train=False)
+    # model-level tolerance is the BASELINE 1e-5 criterion: the b-spline
+    # knot vectors here come from numpy's f32 linspace, which differs from
+    # torch's by 1 ulp (see grid_override in the layer-level goldens, which
+    # pin it exactly); 14 layers of InstanceNorm amplify that to ~2e-6
+    assert_close(np.asarray(y), y_ref, tol=1e-5, name=name)
+
+
+def test_vgg_kan_linear_migration():
+    _run("model_vgg_kan_linear", kan_conv="KAN", classifier_type="Linear")
+
+
+def test_vgg_cheby_kanhead_migration():
+    _run("model_vgg_cheby_kanhead", kan_conv="ChebyKAN",
+         classifier_type="KAN", kan_classifier="KAN")

@@ -172,7 +172,41 @@ def dump_mlp_layers():
         _save(f"mlp_wavkan_{wt}", layer, torch.randn(4, 12))
 
 
+def dump_models():
+    """Whole-model goldens: reference VGGKAN forward on fixed seeds."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv_ops = types.ModuleType("torchvision.ops")
+        tv_misc = types.ModuleType("torchvision.ops.misc")
+        tv_misc.SqueezeExcitation = torch.nn.Identity
+        tv_ops.misc = tv_misc
+        tv.ops = tv_ops
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.ops"] = tv_ops
+        sys.modules["torchvision.ops.misc"] = tv_misc
+
+    from models.kan_vgg import vggkan
+
+    configs = [
+        ("model_vgg_kan_linear",
+         dict(kan_conv="KAN", classifier_type="Linear")),
+        ("model_vgg_cheby_kanhead",
+         dict(kan_conv="ChebyKAN", classifier_type="KAN",
+              kan_classifier="KAN")),
+    ]
+    for name, kw in configs:
+        torch.manual_seed(42)
+        model = vggkan(input_channels=3, num_classes=10,
+                       arch="VGG16_kansmall", **kw)
+        torch.manual_seed(7)
+        x = torch.randn(2, 3, 32, 32)
+        _save(name, model, x)
+
+
 if __name__ == "__main__":
     dump_conv_layers()
     dump_mlp_layers()
+    dump_models()
     print("done")
