@@ -21,7 +21,7 @@ def _run(name, **model_kw):
         lambda r, xx: model.init({"params": r}, xx, train=False)
     )(jax.random.PRNGKey(0), xh.astype(np.float32))
     variables = convert_vggkan(sd, model, variables)
-    y = model.apply(variables, xh, train=False)
+    y = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, xh)
     # model-level tolerance is the BASELINE 1e-5 criterion: the b-spline
     # knot vectors here come from numpy's f32 linspace, which differs from
     # torch's by 1 ulp (see grid_override in the layer-level goldens, which
