@@ -286,7 +286,11 @@ def _build(settings, arch_tag, name_prefix, num_classes, last_channel,
     field_names = {f.name for f in dataclasses.fields(EfficientNetV2KAN)}
     kwargs = {k: v for k, v in kwargs.items()
               if k in field_names and v is not None}
-    kwargs.pop("arch", None)
+    for k in ("arch", "inverted_residual_setting", "dropout",
+              "stochastic_depth_prob", "num_classes", "last_channel",
+              "stem_stride", "arch_tag", "name_prefix",
+              "classifier_overrides"):
+        kwargs.pop(k, None)
     return EfficientNetV2KAN(
         inverted_residual_setting=tuple(settings), dropout=dropout,
         stochastic_depth_prob=stochastic_depth_prob, num_classes=num_classes,

@@ -108,9 +108,12 @@ class FastKANLinear(nn.Module):
     param_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, time_benchmark: bool = False):
         act = _resolve(self.base_activation, "silu")
-        xn = LayerNorm(num_features=self.input_dim)(x)
+        # time_benchmark skips the input layernorm
+        # (fast_kan_layers.py:24-28 parity)
+        xn = x if time_benchmark else LayerNorm(
+            num_features=self.input_dim)(x)
         if self.grid_override is not None:
             grid = jnp.asarray(self.grid_override)
         else:

@@ -151,7 +151,7 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                           mesh=None, path: Optional[str] = None,
                           model_name: str = "model", patience=np.inf,
                           save_last: bool = True, resume: bool = False,
-                          learning_rates: Optional[list] = None):
+                          learning_rate: float = 1e-3, gamma: float = 0.8):
     """Epoch loop with best-checkpointing and early stopping
     (evaluations.py:156-247 parity)."""
     train_step = make_train_step(model, dataset, train_ds.augment,
@@ -187,8 +187,9 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
 
         test_loss, acc, prec, rec, f1, inf_ms = evaluate(
             eval_step, state, test_ds, batch_size, num_classes)
-        # LR actually used this epoch (staircase schedule)
-        lr_now = None
+        # LR used this epoch (staircase exponential: lr * gamma^epoch,
+        # generic_train.py:25 parity)
+        lr_now = learning_rate * (gamma ** epoch)
         history["train_loss"].append(train_loss)
         history["test_loss"].append(test_loss)
         history["accuracy"].append(acc)
@@ -264,7 +265,8 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
     state, history = train_and_test_models(
         model, state, train_ds, test_ds, dataset, num_classes, batch_size,
         epochs, seed=seed, l1_decay=l1_decay, mesh=mesh, path=path,
-        model_name=model_name, resume=resume)
+        model_name=model_name, resume=resume, learning_rate=learning_rate,
+        gamma=gamma)
     total = time.perf_counter() - t0
     logger.info("total training time %.2f min (%.2f min/epoch)",
                 total / 60, total / 60 / max(epochs, 1))

@@ -1,0 +1,43 @@
+"""CLI parity: every --model choice (train.py:50-53) builds through the
+argument plumbing without touching devices."""
+
+import pytest
+
+import train as cli
+
+
+CASES = [
+    ["--model", "VGGKAN", "--arch", "VGG16", "--kan_conv", "FastKAN",
+     "--classifier_type", "KAN"],
+    ["--model", "VGGKAN", "--arch", "VGG16_small", "--conv_type", "conv",
+     "--classifier_type", "VGG"],
+    ["--model", "AlexNetKAN", "--arch", "small", "--kan_conv", "GRAMKAN"],
+    ["--model", "FlexibleAlexNet", "--classifier_type", "KAN"],
+    ["--model", "MobileNetV1KAN", "--width_scale", "0.5",
+     "--replace_depthwise"],
+    ["--model", "MobileNetV2KAN", "--arch", "kan_small",
+     "--kan_conv", "ChebyKAN"],
+    ["--model", "MobileNetV3KAN", "--arch", "large",
+     "--classifier_type", "KAN", "--classifier_degree", "4"],
+    ["--model", "EfficientNetKAN", "--arch", "b0_small"],
+    ["--model", "EfficientNetKAN", "--arch", "b0"],
+    ["--model", "EfficientNetV2KAN", "--arch", "kan_tiny",
+     "--classifier_type", "HiddenKAN"],
+    ["--model", "EfficientNetV2KAN", "--arch", "s",
+     "--norm_layer", "InstanceNorm2d", "--norm_affine"],
+]
+
+
+@pytest.mark.parametrize("argv", CASES, ids=lambda a: "_".join(a[1:4]))
+def test_cli_builds_model(argv):
+    args = cli.build_parser().parse_args(argv + ["--synthetic_data"])
+    model = cli.build_model(args, (32, 32, 3), 10)
+    assert model is not None
+    assert getattr(model, "model_name", None)
+
+
+def test_cli_rejects_bad_effv2_arch():
+    args = cli.build_parser().parse_args(
+        ["--model", "EfficientNetV2KAN", "--arch", "bogus"])
+    with pytest.raises(SystemExit):
+        cli.build_model(args, (32, 32, 3), 10)

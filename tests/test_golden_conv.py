@@ -83,6 +83,65 @@ def test_conv_rank_coverage(rank, name, shape_args):
     assert_close(y, y_ref, name=name)
 
 
+@pytest.mark.parametrize("family", ["kan", "cheby"])
+def test_conv2d_kernel5_dilation2(family):
+    x, y_ref, sd = load_golden(f"conv2d_{family}_k5d2")
+    extra = {}
+    if family == "kan":
+        extra["grid_override"] = tuple(np.asarray(sd["grid"]).ravel()[:12])
+    module = KanConvND(family=family, input_dim=6, output_dim=8,
+                       kernel_size=5, ndim=2, padding=4, dilation=2,
+                       degree=3, param_dtype=jnp.float64, **extra)
+    y = _run_layer(module, sd, family, 1, x)
+    assert_close(y, y_ref, name=f"conv2d_{family}_k5d2")
+
+
+def test_conv2d_kan_batchnorm():
+    from convkan_tpu.utils.norms import BatchNorm
+    from convkan_tpu.utils.torch_compat import _convert_group_norms
+
+    x, y_ref, sd = load_golden("conv2d_kan_bn")
+    module = KanConvND(family="kan", input_dim=6, output_dim=8,
+                       kernel_size=3, ndim=2, padding=1, grid_size=5,
+                       spline_order=3, norm_layer=BatchNorm,
+                       grid_override=tuple(np.asarray(sd["grid"]).ravel()[:12]),
+                       param_dtype=jnp.float64)
+    xh = nchw_to_nhwc(x)
+    variables = module.init(jax.random.PRNGKey(0), xh, train=False)
+    converted = convert_kan_conv(sd, "kan", 1)
+    np_, ns_ = _convert_group_norms(sd, "layer_norm", 1)
+    if np_:
+        converted["__norm_params__"] = np_
+    if ns_:
+        converted["__norm_stats__"] = ns_
+    variables = graft(variables, converted, norm_scope="BatchNorm_0")
+    y = nhwc_to_nchw(module.apply(variables, xh, train=False))
+    assert_close(y, y_ref, name="conv2d_kan_bn")
+
+
+@pytest.mark.parametrize("rank,name,dims", [
+    (1, "conv1d_wavkan_fast", (6, 8)),
+    (3, "conv3d_wavkan_fast", (4, 6)),
+])
+def test_wavkan_conv_ranks(rank, name, dims):
+    x, y_ref, sd = load_golden(name)
+    module = WavKANConvND(input_dim=dims[0], output_dim=dims[1],
+                          kernel_size=3, ndim=rank, padding=1,
+                          wav_version="fast", param_dtype=jnp.float64)
+    xh = nchw_to_nhwc(x)
+    variables = module.init(jax.random.PRNGKey(0), xh, train=False)
+    converted = convert_wavkan_conv(sd, groups=1, wav_version="fast")
+    from convkan_tpu.utils.torch_compat import _convert_group_norms
+    np_, ns_ = _convert_group_norms(sd, "layer_norm", 1)
+    if np_:
+        converted["__norm_params__"] = np_
+    if ns_:
+        converted["__norm_stats__"] = ns_
+    variables = graft(variables, converted, norm_scope="BatchNorm_0")
+    y = nhwc_to_nchw(module.apply(variables, xh, train=False))
+    assert_close(y, y_ref, name=name)
+
+
 @pytest.mark.parametrize("wt", ["mexican_hat", "morlet", "dog", "meyer", "shannon"])
 def test_wavkan_conv_types(wt):
     x, y_ref, sd = load_golden(f"conv2d_wavkan_fast_{wt}")

@@ -128,6 +128,34 @@ def dump_conv_layers():
     torch.manual_seed(7)
     _save("conv3d_kan_g1", l3, torch.randn(2, 4, 5, 6, 6))
 
+    # dilation + kernel-5 coverage
+    for fam, builder in [("kan", lambda: KANConv2DLayer(
+            6, 8, 5, padding=4, dilation=2)),
+            ("cheby", lambda: ChebyKANConv2DLayer(
+                6, 8, 5, degree=3, padding=4, dilation=2))]:
+        torch.manual_seed(42)
+        layer = builder()
+        torch.manual_seed(7)
+        _save(f"conv2d_{fam}_k5d2", layer, torch.randn(2, 6, 12, 12))
+
+    # affine BatchNorm post-norm (exercises norm params + running stats)
+    torch.manual_seed(42)
+    lbn = KANConv2DLayer(6, 8, 3, padding=1,
+                         norm_layer=torch.nn.BatchNorm2d)
+    torch.manual_seed(7)
+    _save("conv2d_kan_bn", lbn, torch.randn(2, 6, 8, 8))
+
+    # WavKAN rank coverage
+    from layers import WavKANConv1DLayer, WavKANConv3DLayer
+    torch.manual_seed(42)
+    w1 = WavKANConv1DLayer(6, 8, 3, padding=1, wav_version="fast")
+    torch.manual_seed(7)
+    _save("conv1d_wavkan_fast", w1, torch.randn(2, 6, 16))
+    torch.manual_seed(42)
+    w3 = WavKANConv3DLayer(4, 6, 3, padding=1, wav_version="fast")
+    torch.manual_seed(7)
+    _save("conv3d_wavkan_fast", w3, torch.randn(2, 4, 5, 6, 6))
+
 
 def dump_mlp_layers():
     from layers import (
