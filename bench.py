@@ -9,7 +9,7 @@ running the same model/batch on this host's CPU (the only reference
 hardware available here; the reference has no GPU numbers — BASELINE.md).
 The control number is measured once and cached in baseline_measured.json.
 
-Config: VGG16_small with B-spline KAN convs (grid 5, order 3), batch 128,
+Config: VGG16_small with B-spline KAN convs (grid 5, order 3), batch 1024,
 32x32x3, full train step (fwd+bwd+AdamW), synthetic CIFAR-shaped data.
 """
 
@@ -19,7 +19,7 @@ import json
 import os
 import time
 
-BATCH = 128
+BATCH = 1024
 STEPS = 30
 WARMUP = 5
 ARCH = "VGG16_small"
@@ -57,6 +57,9 @@ def measure_ours() -> float:
     loss.block_until_ready()
     dt = time.perf_counter() - t0
     return BATCH * STEPS / dt
+
+
+TORCH_BATCH = 128  # CPU control batch (per-image cost is batch-flat on CPU)
 
 
 def measure_torch_reference() -> float:
@@ -109,8 +112,8 @@ def measure_torch_reference() -> float:
     model.train()
     opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-3)
     crit = torch.nn.CrossEntropyLoss()
-    x = torch.randn(BATCH, 3, 32, 32)
-    y = torch.randint(0, 10, (BATCH,))
+    x = torch.randn(TORCH_BATCH, 3, 32, 32)
+    y = torch.randint(0, 10, (TORCH_BATCH,))
     steps = 3
     # warmup
     opt.zero_grad(); crit(model(x), y).backward(); opt.step()
@@ -121,7 +124,7 @@ def measure_torch_reference() -> float:
         loss.backward()
         opt.step()
     dt = time.perf_counter() - t0
-    return BATCH * steps / dt
+    return TORCH_BATCH * steps / dt
 
 
 def get_baseline() -> float:
