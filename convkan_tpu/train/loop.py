@@ -227,6 +227,27 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
     return state, history
 
 
+def predict_probs(model, state: TrainState, ds: ArrayDataset, dataset: str,
+                  batch_size: int):
+    """Softmax probabilities over a dataset (for ROC curves etc. —
+    evaluations.py:340 parity).  Returns (probs [N, C], targets [N])."""
+    @jax.jit
+    def fwd(state, x_uint8):
+        x = normalize_batch(x_uint8, dataset)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return jax.nn.softmax(model.apply(variables, x, train=False))
+
+    probs, targets = [], []
+    for xb, yb in epoch_batches(ds, batch_size, seed=0, shuffle=False):
+        n = len(xb)
+        xb, _, _ = _pad_batch(xb, yb, batch_size)
+        probs.append(np.asarray(fwd(state, xb))[:n])
+        targets.append(yb)
+    return np.concatenate(probs), np.concatenate(targets)
+
+
 def write_results_csv(path: str, model_name: str, history: dict):
     """experiment_results.csv parity (evaluations.py:329)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
