@@ -22,6 +22,7 @@ from dataclasses import dataclass
 from typing import Iterator, Optional, Tuple
 
 import jax
+import jax.image
 import jax.numpy as jnp
 import numpy as np
 
@@ -42,6 +43,12 @@ CIFAR10_CLASSES = ["airplane", "automobile", "bird", "cat", "deer", "dog",
 DIGIT_CLASSES = [str(i) for i in range(10)]
 
 
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+IMAGENET_RESIZE_SIZE = 256
+IMAGENET_CROP_SIZE = 224
+
+
 @dataclass
 class ArrayDataset:
     """In-memory dataset: uint8 HWC images + int labels."""
@@ -50,6 +57,7 @@ class ArrayDataset:
     labels: np.ndarray     # (N,) int32
     num_classes: int
     augment: bool = False  # random crop(pad 4) + hflip on device
+    imagenet: bool = False  # resize/crop-to-224 ImageNet preprocessing
 
     def __len__(self):
         return len(self.images)
@@ -125,7 +133,8 @@ def _synthetic(dataset: str, n: int, seed: int = 0):
 
 
 def get_datasets(dataset: str, data_path: str = "./data",
-                 synthetic: bool = False, synthetic_size: int = 2048):
+                 synthetic: bool = False, synthetic_size: int = 2048,
+                 imagenet_preprocessing: bool = False):
     """Returns (train: ArrayDataset, test: ArrayDataset, classes)."""
     nc = 100 if dataset == "CIFAR100" else 10
     aug = dataset in ("CIFAR10", "CIFAR100")
@@ -152,6 +161,13 @@ def get_datasets(dataset: str, data_path: str = "./data",
         classes = [str(i) for i in range(100)]
     else:
         classes = DIGIT_CLASSES
+    if imagenet_preprocessing:
+        # utils/dataloader.py:26-54: resize(+random-resized-crop/flip) to
+        # 224 with ImageNet normalization; augmentation runs on device
+        aug = dataset != "MNIST"
+        return (ArrayDataset(xtr, ytr, nc, augment=aug, imagenet=True),
+                ArrayDataset(xte, yte, nc, augment=False, imagenet=True),
+                classes)
     return (ArrayDataset(xtr, ytr, nc, augment=aug),
             ArrayDataset(xte, yte, nc, augment=False), classes)
 
@@ -184,8 +200,59 @@ def augment_batch(rng, x):
     return jnp.where(flip[:, None, None, None], xc[:, :, ::-1, :], xc)
 
 
-def train_batch(rng, x_uint8, dataset: str, augment: bool):
+def _imagenet_resize(x):
+    """Bilinear resize so the short side is IMAGENET_RESIZE_SIZE
+    (transforms.Resize parity, up to interpolation kernel details)."""
+    B, H, W, C = x.shape
+    if H <= W:
+        nh, nw = IMAGENET_RESIZE_SIZE, max(
+            round(W * IMAGENET_RESIZE_SIZE / H), IMAGENET_RESIZE_SIZE)
+    else:
+        nw, nh = IMAGENET_RESIZE_SIZE, max(
+            round(H * IMAGENET_RESIZE_SIZE / W), IMAGENET_RESIZE_SIZE)
+    return jax.image.resize(x, (B, nh, nw, C), method="bilinear")
+
+
+def _to_3ch(x):
+    return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
+
+
+def imagenet_batch(rng, x_uint8, train: bool, dataset: str):
+    """utils/dataloader.py:26-54 on device: MNIST -> resize 224 + 3-channel
+    grayscale; others -> resize 256 + (random crop + hflip | center crop)
+    to 224; ImageNet mean/std."""
+    x = x_uint8.astype(jnp.float32)
+    if dataset == "MNIST":
+        B, H, W, C = x.shape
+        x = jax.image.resize(
+            x, (B, IMAGENET_CROP_SIZE, IMAGENET_CROP_SIZE, C), "bilinear")
+        x = _to_3ch(x)
+    else:
+        x = _imagenet_resize(x)
+        B, H, W, C = x.shape
+        S = IMAGENET_CROP_SIZE
+        if train:
+            rng_crop, rng_flip = jax.random.split(rng)
+            offs = jax.random.randint(
+                rng_crop, (B, 2), 0,
+                jnp.asarray([H - S + 1, W - S + 1]))
+            x = jax.vmap(lambda img, o: jax.lax.dynamic_slice(
+                img, (o[0], o[1], 0), (S, S, C)))(x, offs)
+            flip = jax.random.bernoulli(rng_flip, 0.5, (B,))
+            x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+        else:
+            h0, w0 = (H - S) // 2, (W - S) // 2
+            x = x[:, h0:h0 + S, w0:w0 + S, :]
+    x = x / 255.0
+    return ((x - IMAGENET_MEAN.reshape(1, 1, 1, -1))
+            / IMAGENET_STD.reshape(1, 1, 1, -1))
+
+
+def train_batch(rng, x_uint8, dataset: str, augment: bool,
+                imagenet: bool = False):
     """uint8 batch -> augmented normalized float batch, all on device."""
+    if imagenet:
+        return imagenet_batch(rng, x_uint8, train=augment, dataset=dataset)
     if augment:
         x = augment_batch(rng, x_uint8.astype(jnp.float32))
         x = x / 255.0

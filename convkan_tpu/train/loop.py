@@ -50,11 +50,12 @@ def _shardings(mesh):
 
 
 def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
-                    mesh=None, state_shardings=None):
+                    mesh=None, state_shardings=None, imagenet: bool = False):
     def step(state: TrainState, rng, x_uint8, labels):
         rng = jax.random.fold_in(rng, state.step)
         aug_rng, drop_rng = jax.random.split(rng)
-        x = train_batch(aug_rng, x_uint8, dataset, augment)
+        x = train_batch(aug_rng, x_uint8, dataset, augment,
+                        imagenet=imagenet)
 
         def loss_fn(params):
             variables = {"params": params}
@@ -88,9 +89,14 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
     )
 
 
-def make_eval_step(model, dataset: str, num_classes: int, mesh=None):
+def make_eval_step(model, dataset: str, num_classes: int, mesh=None,
+                   imagenet: bool = False):
     def step(state: TrainState, x_uint8, labels, weights):
-        x = normalize_batch(x_uint8, dataset)
+        if imagenet:
+            from .data import imagenet_batch
+            x = imagenet_batch(None, x_uint8, train=False, dataset=dataset)
+        else:
+            x = normalize_batch(x_uint8, dataset)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -155,8 +161,10 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
     """Epoch loop with best-checkpointing and early stopping
     (evaluations.py:156-247 parity)."""
     train_step = make_train_step(model, dataset, train_ds.augment,
-                                 l1_decay=l1_decay, mesh=mesh)
-    eval_step = make_eval_step(model, dataset, num_classes, mesh=mesh)
+                                 l1_decay=l1_decay, mesh=mesh,
+                                 imagenet=getattr(train_ds, "imagenet", False))
+    eval_step = make_eval_step(model, dataset, num_classes, mesh=mesh,
+                               imagenet=getattr(test_ds, "imagenet", False))
 
     history = {k: [] for k in ["train_loss", "test_loss", "accuracy",
                                "precision", "recall", "f1", "lr",
@@ -273,7 +281,11 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
     epoch loop; returns (state, history)."""
     model_name = model_name or getattr(model, "model_name", None) or type(model).__name__
     if sample_input is None:
-        h, w, c = train_ds.images.shape[1:]
+        if getattr(train_ds, "imagenet", False):
+            h = w = 224
+            c = 3
+        else:
+            h, w, c = train_ds.images.shape[1:]
         sample_input = jnp.zeros((batch_size, h, w, c), jnp.float32)
     steps_per_epoch = max(len(train_ds) // batch_size, 1)
     state = create_train_state(

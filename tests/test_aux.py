@@ -107,6 +107,29 @@ def test_fuzzy_pool_matches_reference_semantics():
     np.testing.assert_allclose(got, expected, atol=1e-5, rtol=1e-5)
 
 
+def test_imagenet_preprocessing_paths():
+    """--imagenet_preprocessing parity: MNIST -> 224^2 x 3ch; CIFAR ->
+    resize-256 + (random crop+flip | center crop) to 224^2
+    (utils/dataloader.py:26-54)."""
+    from convkan_tpu.train.data import imagenet_batch, train_batch
+
+    tr, te, _ = get_datasets("MNIST", synthetic=True, synthetic_size=32,
+                             imagenet_preprocessing=True)
+    y = train_batch(jax.random.PRNGKey(0), jnp.asarray(tr.images[:2]),
+                    "MNIST", tr.augment, imagenet=True)
+    assert y.shape == (2, 224, 224, 3)
+    # grayscale replicated across channels
+    np.testing.assert_allclose(np.asarray(y[..., 0]), np.asarray(y[..., 1]))
+
+    tr2, _, _ = get_datasets("CIFAR10", synthetic=True, synthetic_size=32,
+                             imagenet_preprocessing=True)
+    yt = train_batch(jax.random.PRNGKey(0), jnp.asarray(tr2.images[:2]),
+                     "CIFAR10", True, imagenet=True)
+    ye = imagenet_batch(None, jnp.asarray(tr2.images[:2]), train=False,
+                        dataset="CIFAR10")
+    assert yt.shape == (2, 224, 224, 3) and ye.shape == (2, 224, 224, 3)
+
+
 def test_metrics_match_formulas():
     preds = jnp.asarray([0, 1, 2, 2, 1, 0, 1])
     targets = jnp.asarray([0, 1, 1, 2, 1, 2, 0])

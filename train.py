@@ -239,10 +239,14 @@ def main(argv=None):
     from convkan_tpu.train.loop import train_model_generic, write_results_csv
 
     train_ds, test_ds, classes = get_datasets(
-        args.dataset, args.data_path, synthetic=args.synthetic_data)
+        args.dataset, args.data_path, synthetic=args.synthetic_data,
+        imagenet_preprocessing=args.imagenet_preprocessing)
     num_classes = len(classes)
-    h, w, c = train_ds.images.shape[1:]
-    input_shape = (h, w, c)
+    if args.imagenet_preprocessing:
+        input_shape = (224, 224, 3)
+    else:
+        h, w, c = train_ds.images.shape[1:]
+        input_shape = (h, w, c)
 
     model = build_model(args, input_shape, num_classes)
     model_name = getattr(model, "model_name", type(model).__name__)
