@@ -118,8 +118,11 @@ def test_imagenet_preprocessing_paths():
     y = train_batch(jax.random.PRNGKey(0), jnp.asarray(tr.images[:2]),
                     "MNIST", tr.augment, imagenet=True)
     assert y.shape == (2, 224, 224, 3)
-    # grayscale replicated across channels
-    np.testing.assert_allclose(np.asarray(y[..., 0]), np.asarray(y[..., 1]))
+    # grayscale replicated across channels (before per-channel normalize)
+    from convkan_tpu.train.data import IMAGENET_MEAN, IMAGENET_STD
+    raw0 = np.asarray(y[..., 0]) * IMAGENET_STD[0] + IMAGENET_MEAN[0]
+    raw1 = np.asarray(y[..., 1]) * IMAGENET_STD[1] + IMAGENET_MEAN[1]
+    np.testing.assert_allclose(raw0, raw1, atol=1e-5)
 
     tr2, _, _ = get_datasets("CIFAR10", synthetic=True, synthetic_size=32,
                              imagenet_preprocessing=True)
