@@ -132,21 +132,23 @@ def evaluate(eval_step, state, ds: ArrayDataset, batch_size: int,
              num_classes: int):
     """Full-dataset eval: returns (loss, acc, precision, recall, f1,
     inference_ms_per_image)."""
-    loss_sum = 0.0
+    # accumulate on device, sync ONCE at the end — per-batch syncs would
+    # serialize the dispatch pipeline (the reference pays a host sync per
+    # batch for its sklearn metrics, evaluations.py:139-148)
+    loss_sum = jnp.zeros((), jnp.float32)
     cm = jnp.zeros((num_classes, num_classes), jnp.float32)
     n = len(ds)
-    t_infer = 0.0
+    t0 = time.perf_counter()
     for xb, yb in epoch_batches(ds, batch_size, seed=0, shuffle=False):
         xb, yb, w = _pad_batch(xb, yb, batch_size)
-        t0 = time.perf_counter()
         ls, cmb = eval_step(state, xb, yb, w)
-        ls.block_until_ready()
-        t_infer += time.perf_counter() - t0
-        loss_sum += float(ls)
+        loss_sum = loss_sum + ls
         cm = cm + cmb
+    cm.block_until_ready()
+    t_infer = time.perf_counter() - t0
     p, r, f1 = macro_prf1(cm)
     acc = accuracy_from_cm(cm)
-    return (loss_sum / n, float(acc), float(p), float(r), float(f1),
+    return (float(loss_sum) / n, float(acc), float(p), float(r), float(f1),
             t_infer / n * 1000.0)
 
 

@@ -74,6 +74,19 @@ def test_cifar_parser_roundtrip(tmp_path):
     assert train.augment
 
 
+def test_svhn_parser_roundtrip(tmp_path):
+    from scipy.io import savemat
+
+    rng = np.random.RandomState(0)
+    for split, n in [("train", 12), ("test", 8)]:
+        X = rng.randint(0, 256, (32, 32, 3, n), dtype=np.uint8)
+        y = rng.randint(1, 11, (n, 1)).astype(np.uint8)  # SVHN labels 1..10
+        savemat(tmp_path / f"{split}_32x32.mat", {"X": X, "y": y})
+    train, test, classes = get_datasets("SVHN", str(tmp_path))
+    assert train.images.shape == (12, 32, 32, 3)
+    assert set(np.unique(train.labels)) <= set(range(10))  # 10 -> 0 remap
+
+
 def test_fuzzy_pool_matches_reference_semantics():
     """Vectorized fuzzy pooling equals a direct python transcription of
     utils/fuzzy_pooling.py:23-80."""
@@ -141,6 +154,27 @@ def test_metrics_match_formulas():
     assert abs(acc - 4 / 7) < 1e-6
     p, r, f1 = macro_prf1(cm)
     assert 0 <= float(p) <= 1 and 0 <= float(r) <= 1 and 0 <= float(f1) <= 1
+
+
+def test_metrics_match_sklearn():
+    """On-device macro P/R/F1 == sklearn (the reference's metric source,
+    evaluations.py:146-148)."""
+    from sklearn.metrics import (accuracy_score, f1_score, precision_score,
+                                 recall_score)
+
+    rng = np.random.RandomState(0)
+    targets = rng.randint(0, 7, (500,))
+    preds = rng.randint(0, 7, (500,))
+    cm = confusion_matrix(jnp.asarray(preds), jnp.asarray(targets), 7)
+    p, r, f1 = macro_prf1(cm)
+    assert abs(float(accuracy_from_cm(cm))
+               - accuracy_score(targets, preds)) < 1e-6
+    assert abs(float(p) - precision_score(targets, preds, average="macro",
+                                          zero_division=0)) < 1e-6
+    assert abs(float(r) - recall_score(targets, preds, average="macro",
+                                       zero_division=0)) < 1e-6
+    assert abs(float(f1) - f1_score(targets, preds, average="macro",
+                                    zero_division=0)) < 1e-5
 
 
 def test_regularization_utils():

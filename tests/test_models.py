@@ -77,6 +77,20 @@ def test_efficientnetv2_tiny():
     _run(m)
 
 
+def test_vgg_all_classifier_types():
+    for ct in ["VGGKAN", "VGG", "Identity"]:
+        m = vggkan(3, 10, arch="VGG16_kansmall", kan_conv="FastKAN",
+                   classifier_type=ct, width_scale=0.25)
+        x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+        v = jax.jit(lambda r: m.init({"params": r}, x, train=False))(
+            jax.random.PRNGKey(0))
+        out = jax.jit(lambda v, x: m.apply(v, x, train=False))(v, x)
+        if ct == "Identity":
+            assert out.ndim == 2  # raw pooled features
+        else:
+            assert out.shape == (1, 10)
+
+
 def test_std_conv_paths():
     for m in [
         vggkan(3, 10, arch="VGG16_kansmall", conv_type="conv",
