@@ -278,7 +278,7 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
                         epochs=15, seed=42, l1_decay=0.0, mesh=None,
                         path: Optional[str] = None, resume: bool = False,
                         model_name: Optional[str] = None,
-                        sample_input=None):
+                        sample_input=None, patience=np.inf):
     """generic_train.py:18-53 parity: build optimizer/state and run the
     epoch loop; returns (state, history)."""
     model_name = model_name or getattr(model, "model_name", None) or type(model).__name__
@@ -301,7 +301,7 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
         model, state, train_ds, test_ds, dataset, num_classes, batch_size,
         epochs, seed=seed, l1_decay=l1_decay, mesh=mesh, path=path,
         model_name=model_name, resume=resume, learning_rate=learning_rate,
-        gamma=gamma)
+        gamma=gamma, patience=patience)
     total = time.perf_counter() - t0
     logger.info("total training time %.2f min (%.2f min/epoch)",
                 total / 60, total / 60 / max(epochs, 1))

@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use synthetic dataset-shaped data (no files needed)")
     p.add_argument("--mesh_data", type=int, default=None,
                    help="data-parallel devices (default: all)")
+    p.add_argument("--patience", type=float, default=float("inf"),
+                   help="early-stopping patience in epochs (reference "
+                        "default: inf, evaluations.py:156)")
     return p
 
 
@@ -263,10 +266,20 @@ def main(argv=None):
         batch_size=args.batch_size, learning_rate=args.lr,
         weight_decay=args.weight_decay, gamma=args.gamma, epochs=args.epoch,
         seed=args.seed, l1_decay=args.l1_decay, mesh=mesh,
-        path=model_save_path, resume=args.resume, model_name=model_name)
+        path=model_save_path, resume=args.resume, model_name=model_name,
+        patience=args.patience)
 
     write_results_csv(os.path.join(results_path, "experiment_results.csv"),
                       model_name, history)
+    try:
+        import jax as _jax
+        from convkan_tpu.train.plots import final_plots
+        n_params = sum(p.size for p in
+                       _jax.tree_util.tree_leaves(state.params))
+        final_plots({model_name: history}, {model_name: n_params},
+                    out_dir=results_path)
+    except Exception as e:  # plotting is best-effort (headless parity)
+        logger.warning("plotting skipped: %s", e)
     logger.info("Training process completed for model: %s", model_name)
 
 
