@@ -35,6 +35,25 @@ def test_save_and_from_pretrained(tmp_path):
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
 
 
+def test_save_and_from_pretrained_efficientnet(tmp_path):
+    """Exercises the MBConfig dataclass (de)serialization path."""
+    from convkan_tpu.models import efficientnetv2_kan_small
+
+    m = efficientnetv2_kan_small(arch="kan_tiny", num_classes=10,
+                                 kan_conv="FastKAN")
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v = jax.jit(lambda r: m.init({"params": r}, x, train=False))(
+        jax.random.PRNGKey(0))
+    fwd = lambda mm, vv: jax.jit(  # noqa: E731
+        lambda v_, x_: mm.apply(v_, x_, train=False,
+                                mutable=["batch_stats"])[0])(vv, x)
+    y0 = fwd(m, v)
+    save_pretrained(m, v, str(tmp_path / "ck"))
+    m2, v2 = from_pretrained(str(tmp_path / "ck"))
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(fwd(m2, v2)),
+                               atol=1e-6)
+
+
 def test_mnist_parser_roundtrip(tmp_path):
     # write IDX files in the raw MNIST format and read them back
     raw = tmp_path / "MNIST" / "raw"
