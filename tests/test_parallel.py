@@ -47,6 +47,17 @@ def test_tensor_parallel_kan_conv():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_multislice_mesh_single_slice_fallback():
+    """Single-slice hosts get a ('dcn','data','model') mesh with dcn=1;
+    the batch shards over (dcn, data)."""
+    from convkan_tpu.parallel.mesh import batch_axes, make_multislice_mesh
+
+    mesh = make_multislice_mesh(data_per_slice=4, model=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    assert mesh.devices.shape == (1, 4, 2)
+    assert batch_axes(mesh) == ("dcn", "data")
+
+
 def test_dp_tp_train_step():
     """Full train step over a dp x tp mesh via __graft_entry__'s path."""
     import __graft_entry__ as g
