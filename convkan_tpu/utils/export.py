@@ -1,0 +1,45 @@
+"""Serving export: serialize a model's forward pass to StableHLO.
+
+The reference's deployment story is whole-module pickles that require the
+class code at load time (generic_train.py:37).  Here a trained model
+exports to a self-contained StableHLO artifact (jax.export) that any JAX
+process — or a non-Python serving stack that speaks StableHLO — can run
+without convkan_tpu installed.
+
+    blob = export_forward(model, variables, input_shape)   # bytes
+    fn = load_forward(blob)                                # callable
+    logits = fn(x)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import export as jexport
+
+
+def export_forward(model, variables, input_shape: Sequence[int],
+                   batch_poly: bool = True) -> bytes:
+    """Serialize `model.apply(variables, x, train=False)` with the params
+    baked in.  `input_shape` excludes the batch dim; with batch_poly the
+    batch dimension is exported symbolically (any batch size at serve
+    time)."""
+
+    def fwd(x):
+        return model.apply(variables, x, train=False)
+
+    if batch_poly:
+        (b,) = jexport.symbolic_shape("b")
+        x_spec = jax.ShapeDtypeStruct((b, *input_shape), jnp.float32)
+    else:
+        x_spec = jax.ShapeDtypeStruct((1, *input_shape), jnp.float32)
+    exported = jexport.export(jax.jit(fwd))(x_spec)
+    return exported.serialize()
+
+
+def load_forward(blob: bytes):
+    """Deserialize an exported forward; returns a callable f(x)."""
+    exported = jexport.deserialize(blob)
+    return lambda x: exported.call(x)
