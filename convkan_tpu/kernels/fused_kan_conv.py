@@ -22,14 +22,18 @@ jnp reference path (no residual basis tensor is ever stored).
 Unsupported configs fall back to the jnp/XLA path transparently
 (nn.KanConvND use_pallas='auto').
 
-MEASURED RESULT (v5e, KAN-VGG16_small CIFAR-10 train step, batch 128):
-the XLA path reaches ~244k img/s vs ~8.5k img/s for this kernel — XLA's
-TPU conv pipeline already fuses the element-wise basis chain into its conv
-emitters, so the HBM-intermediate premise of the fusion does not bind on
-this hardware, while the kernel pays for whole-image VMEM blocks with
-non-8-aligned sublane extents and per-tap shifted copies.  The kernel is
-therefore OPT-IN (use_pallas=True/'auto'; module default False) and kept
-as the scaffold for shapes where XLA's fusion does not apply.
+MEASURED RESULT (v5e, KAN-VGG16_small CIFAR-10 train step, batch 1024,
+interleaved best-of-3 A/B to control for shared-tunnel variance): the
+fused-forward path runs at ~0.7x the XLA path (e.g. 342k vs 488k img/s in
+one pair; absolute numbers vary ~2x run-to-run on the shared device).
+Two optimizations got it from 0.03x to 0.7x: (1) per-tap contractions as
+lax.dot_general over (Ho, Wo, K*C) blocks instead of row-collapsing
+reshapes (the reshapes forced full-tensor relayouts per tap), and
+(2) 'parallel' grid dimension semantics so Mosaic pipelines the per-image
+programs.  The kernel is OPT-IN (use_pallas=True/'auto'; module default
+False): XLA's conv pipeline also fuses the element-wise basis chain and
+remains the fastest path on this hardware; the kernel is the scaffold for
+shapes where XLA's fusion does not apply.
 """
 
 from __future__ import annotations
@@ -120,20 +124,25 @@ def fused_kan_conv2d(
         # degree-major (Hp, Wp, K*C) -> deep MXU contractions per tap
         bas = jnp.concatenate([bk * vmask for bk in bas_list], axis=-1)
 
-        acc = jnp.zeros((Ho * Wo, O), jnp.float32)
+        def tap_dot(sub, w):
+            # (Ho, Wo, D) x (D, O) without collapsing the leading dims —
+            # avoids a full relayout per tap
+            return jax.lax.dot_general(
+                sub, w, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = jnp.zeros((Ho, Wo, O), jnp.float32)
         for di in range(kh):
             for dj in range(kw):
-                sub = bas[di:di + Ho, dj:dj + Wo].reshape(Ho * Wo, K * C)
-                acc = acc + jnp.dot(sub, pw_ref[di, dj],
-                                    preferred_element_type=jnp.float32)
+                acc = acc + tap_dot(bas[di:di + Ho, dj:dj + Wo],
+                                    pw_ref[di, dj])
         if has_base:
             actx = bp_ref[0]
             for di in range(kh):
                 for dj in range(kw):
-                    subb = actx[di:di + Ho, dj:dj + Wo].reshape(Ho * Wo, C)
-                    acc = acc + jnp.dot(subb, bw_ref[di, dj],
-                                        preferred_element_type=jnp.float32)
-        out_ref[0] = acc.reshape(Ho, Wo, O)
+                    acc = acc + tap_dot(actx[di:di + Ho, dj:dj + Wo],
+                                        bw_ref[di, dj])
+        out_ref[0] = acc
 
     x_spec = pl.BlockSpec((1, Hp, Wp, C), lambda b: (b, 0, 0, 0),
                           memory_space=pltpu.VMEM)
@@ -156,7 +165,7 @@ def fused_kan_conv2d(
         ),
         out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, O), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
+            dimension_semantics=("parallel",),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Ho * Wo * O * (C * K + C) * kh * kw,
