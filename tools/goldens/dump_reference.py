@@ -233,8 +233,50 @@ def dump_models():
         _save(name, model, x)
 
 
+def dump_train_steps():
+    """Training-dynamics golden: 5 AdamW steps on a KAN MLP with fixed
+    weights/data; the per-step losses pin gradient + optimizer numerics."""
+    from layers import KANLayer
+
+    class Stack(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.l1 = KANLayer(12, 8)
+            self.l2 = KANLayer(8, 4)
+
+        def forward(self, x):
+            return self.l2(self.l1(x))
+
+    torch.manual_seed(42)
+    model = Stack().double()
+    torch.manual_seed(7)
+    x = torch.randn(16, 12)
+    y = torch.randint(0, 4, (16,), generator=torch.Generator().manual_seed(3))
+    opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-3)
+    crit = torch.nn.CrossEntropyLoss()
+    losses = []
+    sd0 = {k: v.detach().clone().numpy() for k, v in model.state_dict().items()}
+    for _ in range(5):
+        opt.zero_grad()
+        loss = crit(model(x), y)
+        loss.backward()
+        opt.step()
+        losses.append(float(loss))
+    blob = {"x": x.numpy(), "y": np.zeros(1), "labels": y.numpy(),
+            "losses": np.asarray(losses),
+            # KANLayer.grid is a plain (unregistered) tensor attribute
+            "l1.grid": model.l1.grid.numpy(),
+            "l2.grid": model.l2.grid.numpy()}
+    for k, v in sd0.items():
+        blob[f"param:{k}"] = v
+    path = os.path.join(OUT_DIR, "train_steps_kan_mlp.npz")
+    np.savez_compressed(path, **blob)
+    print(f"wrote {path}  losses={losses}")
+
+
 if __name__ == "__main__":
     dump_conv_layers()
     dump_mlp_layers()
     dump_models()
+    dump_train_steps()
     print("done")
