@@ -32,8 +32,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from . import checkpoint as ckpt_lib
 from .data import ArrayDataset, epoch_batches, normalize_batch, train_batch
-from .metrics import (accuracy_from_cm, confusion_matrix, cross_entropy_loss,
-                      macro_prf1)
+from .metrics import (accuracy_from_cm, cross_entropy_loss, macro_prf1)
 from .state import TrainState, create_train_state, l1_penalty
 
 logger = logging.getLogger(__name__)
