@@ -75,6 +75,7 @@ def fused_kan_conv2d(
     kernel_size: int,
     degree_major: bool = False,
     interpret: bool = False,
+    extra_args: Tuple = (),
 ):
     """x: (B, H, W, C); base_in: pre-activated base-path input (same shape)
     or None; base_w: (kh, kw, C, O) or None; poly_w: (kh, kw, C*K, O).
@@ -111,15 +112,22 @@ def fused_kan_conv2d(
     if has_base:
         bp = jnp.pad(base_in, pad_spec) * valid  # mask folded in (free)
 
+    n_extra = len(extra_args)
+
     def kernel(*refs):
-        if has_base:
-            xp_ref, bp_ref, v_ref, pw_ref, bw_ref, out_ref = refs
-        else:
-            xp_ref, v_ref, pw_ref, out_ref = refs
+        refs = list(refs)
+        xp_ref = refs.pop(0)
+        bp_ref = refs.pop(0) if has_base else None
+        v_ref = refs.pop(0)
+        extra_refs = [refs.pop(0) for _ in range(n_extra)]
+        pw_ref = refs.pop(0)
+        bw_ref = refs.pop(0) if has_base else None
+        out_ref = refs.pop(0)
 
         xt = xp_ref[0]                                 # (Hp, Wp, C)
         vmask = v_ref[:]                               # (Hp, Wp, 1)
-        bas_list = basis_list_fn(xt)                   # K x (Hp, Wp, C)
+        extras = [r[:] for r in extra_refs]            # learnable basis params
+        bas_list = basis_list_fn(xt, *extras)          # K x (Hp, Wp, C)
         # concatenate on the lane dim (supported, unlike a (C,K) reshape):
         # degree-major (Hp, Wp, K*C) -> deep MXU contractions per tap
         bas = jnp.concatenate([bk * vmask for bk in bas_list], axis=-1)
@@ -148,12 +156,13 @@ def fused_kan_conv2d(
                           memory_space=pltpu.VMEM)
     v_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     w_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    e_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in extra_args]
     if has_base:
-        in_specs = [x_spec, x_spec, v_spec, w_spec, w_spec]
-        args = [xp, bp, valid, pw_split, base_w]
+        in_specs = [x_spec, x_spec, v_spec, *e_specs, w_spec, w_spec]
+        args = [xp, bp, valid, *extra_args, pw_split, base_w]
     else:
-        in_specs = [x_spec, v_spec, w_spec]
-        args = [xp, valid, pw_split]
+        in_specs = [x_spec, v_spec, *e_specs, w_spec]
+        args = [xp, valid, *extra_args, pw_split]
 
     out = pl.pallas_call(
         kernel,
@@ -182,7 +191,7 @@ def fused_kan_conv2d(
 def make_fused_kan_conv_op(*, basis_list_fn: Callable, num_basis: int,
                            base_act: Optional[Callable], kernel_size: int,
                            padding: int, degree_major: bool, has_base: bool,
-                           interpret: bool = False):
+                           interpret: bool = False, n_extra: int = 0):
     """Build a custom_vjp'd fused op.
 
     Forward = Pallas kernel (no HBM basis tensor).  Backward = recompute
@@ -191,9 +200,9 @@ def make_fused_kan_conv_op(*, basis_list_fn: Callable, num_basis: int,
     """
     from ..ops.conv import conv_nd
 
-    def reference(x, base_w, poly_w):
+    def reference(x, base_w, poly_w, *extras):
         B, H, W, C = x.shape
-        bas = jnp.stack(basis_list_fn(x), axis=-1)
+        bas = jnp.stack(basis_list_fn(x, *extras), axis=-1)
         if degree_major:
             bas = jnp.swapaxes(bas, -1, -2)
         bas = bas.reshape(B, H, W, C * num_basis)
@@ -205,7 +214,7 @@ def make_fused_kan_conv_op(*, basis_list_fn: Callable, num_basis: int,
                             dilation=1, groups=1)
         return y
 
-    def forward(x, base_w, poly_w):
+    def forward(x, base_w, poly_w, *extras):
         base_in = None
         if has_base:
             base_in = base_act(x) if base_act is not None else x
@@ -213,18 +222,20 @@ def make_fused_kan_conv_op(*, basis_list_fn: Callable, num_basis: int,
             x, base_in, base_w if has_base else None, poly_w,
             basis_list_fn=basis_list_fn, num_basis=num_basis,
             padding=padding, kernel_size=kernel_size,
-            degree_major=degree_major, interpret=interpret)
+            degree_major=degree_major, interpret=interpret,
+            extra_args=tuple(extras))
 
     @jax.custom_vjp
-    def op(x, base_w, poly_w):
-        return forward(x, base_w, poly_w)
+    def op(x, base_w, poly_w, *extras):
+        return forward(x, base_w, poly_w, *extras)
 
-    def fwd(x, base_w, poly_w):
-        return forward(x, base_w, poly_w), (x, base_w, poly_w)
+    def fwd(x, base_w, poly_w, *extras):
+        return forward(x, base_w, poly_w, *extras), (x, base_w, poly_w,
+                                                     extras)
 
     def bwd(res, g):
-        x, base_w, poly_w = res
-        _, vjp = jax.vjp(reference, x, base_w, poly_w)
+        x, base_w, poly_w, extras = res
+        _, vjp = jax.vjp(reference, x, base_w, poly_w, *extras)
         return vjp(g)
 
     op.defvjp(fwd, bwd)

@@ -372,20 +372,6 @@ class KanConvND(nn.Module):
             self.param_dtype,
         )
 
-        # ---------------- fused Pallas path (TPU): basis expansion + both
-        # convs in one kernel, no HBM basis tensor
-        fused = self._maybe_fused(x, base_w, poly_w, act, train, kshape)
-        if fused is not None:
-            y = fused
-            return self._post_combine(y, act, train)
-
-        # ---------------- base path
-        base_out = None
-        if spec.has_base:
-            base_in = act(x) if spec.base_input == "act" else x
-            base_out = conv_nd(base_in, base_w, **conv_kwargs)
-
-        # ---------------- basis path
         beta = None
         if self.family == "gram":
             beta = self.param(
@@ -403,6 +389,43 @@ class KanConvND(nn.Module):
                 self.param_dtype,
             )
 
+        phase_low = phase_high = None
+        if self.family == "relukan":
+            low0, high0 = default_phases(self.g, self.k)
+            shape = (self.in_g, self.g + self.k)
+            if self.train_ab:
+                phase_low = self.param(
+                    "phase_low",
+                    lambda key, s_: jnp.broadcast_to(
+                        jnp.asarray(low0), s_).astype(self.param_dtype),
+                    shape,
+                )
+                phase_high = self.param(
+                    "phase_high",
+                    lambda key, s_: jnp.broadcast_to(
+                        jnp.asarray(high0), s_).astype(self.param_dtype),
+                    shape,
+                )
+            else:
+                phase_low = jnp.broadcast_to(jnp.asarray(low0), shape)
+                phase_high = jnp.broadcast_to(jnp.asarray(high0), shape)
+
+        # ---------------- fused Pallas path (TPU): basis expansion + both
+        # convs in one kernel, no HBM basis tensor
+        fused = self._maybe_fused(x, base_w, poly_w, act, train, kshape,
+                                  beta=beta, phase_low=phase_low,
+                                  phase_high=phase_high)
+        if fused is not None:
+            y = fused
+            return self._post_combine(y, act, train)
+
+        # ---------------- base path
+        base_out = None
+        if spec.has_base:
+            base_in = act(x) if spec.base_input == "act" else x
+            base_out = conv_nd(base_in, base_w, **conv_kwargs)
+
+        # ---------------- basis path
         t = x
         if spec.squash == "tanh":
             t = jnp.tanh(x)
@@ -425,26 +448,6 @@ class KanConvND(nn.Module):
             t = input_norm(t, train=train)
 
         if self.family == "relukan":
-            low0, high0 = default_phases(self.g, self.k)
-            shape = (self.in_g, self.g + self.k)
-            if self.train_ab:
-                phase_low = self.param(
-                    "phase_low",
-                    lambda key, s: jnp.broadcast_to(jnp.asarray(low0), s).astype(
-                        self.param_dtype
-                    ),
-                    shape,
-                )
-                phase_high = self.param(
-                    "phase_high",
-                    lambda key, s: jnp.broadcast_to(jnp.asarray(high0), s).astype(
-                        self.param_dtype
-                    ),
-                    shape,
-                )
-            else:
-                phase_low = jnp.broadcast_to(jnp.asarray(low0), shape)
-                phase_high = jnp.broadcast_to(jnp.asarray(high0), shape)
             # phases are per in-group channel, shared across groups
             # (relu_kan_layers.py:99-105)
             pl = jnp.tile(phase_low, (self.groups, 1))
@@ -493,26 +496,64 @@ class KanConvND(nn.Module):
             y = self._channel_dropout(y, train)
         return y
 
-    # families whose basis is a pure static function of the input (no
-    # learnable/basis-time parameters, no global batch statistics)
+    # families fusable into the Pallas kernel: pure static basis functions
+    # plus gram/relukan (their learnable basis params ride in as kernel
+    # operands).  Excluded: fastkan (input-norm stats must exclude the
+    # spatial zero-pad), legendre (batch-global min-max), wavkan (per-
+    # (out,in) expansion lives in nn/wav_conv.py).
     _FUSABLE = frozenset({
         "kan", "cheby", "jacobi", "bernstein", "bessel", "fibonacci",
         "fourier", "gegenbauer", "hermite", "laguerre", "lucas", "taylor",
+        "gram", "relukan",
     })
 
-    def _fused_basis_list_fn(self):
+    def _fused_basis_list_fn(self, act):
         """Kernel-side basis: a function returning a LIST of K (..., C)
         arrays (Mosaic cannot reshape a trailing (C, K) pair), with the
-        family squash folded in and no captured constant arrays."""
+        family squash folded in and no captured constant arrays.  Learnable
+        basis params (gram beta, relukan phases) arrive as extra args."""
         from ..basis import poly as P
         from ..basis.bspline import bspline_basis_unrolled_list
-        from ..basis.fourier import fourier_basis  # noqa: F401
         from ..basis.poly import fourier_basis_list
 
         fam = self.family
         spec = self.spec
         sq = {"tanh": jnp.tanh, "sigmoid": jax.nn.sigmoid}.get(spec.squash)
         d = self.degree
+
+        if fam == "gram":
+            # tanh squash, then act(basis) before the conv
+            # (gram_kan_layers.py:172-185)
+            def gram_list(xt, beta):
+                t = jnp.tanh(xt)
+                p0 = jnp.ones_like(t)
+                if d == 0:
+                    return [act(p0)]
+                p1 = t
+                out = [p0, p1]
+                for i in range(2, d + 1):
+                    n, m = i - 1, i
+                    coef = ((m + n) * (m - n) * n**2) / (
+                        m**2 / (4.0 * n**2 - 1.0))
+                    p2 = t * p1 - (coef * beta[n]) * p0
+                    out.append(p2)
+                    p0, p1 = p1, p2
+                return [act(b) for b in out]
+
+            return gram_list
+        if fam == "relukan":
+            g_, k_ = self.g, self.k
+            r = 4.0 * g_ * g_ / ((k_ + 1.0) * (k_ + 1.0))
+
+            def relukan_list(xt, pl, ph):
+                out = []
+                for j in range(g_ + k_):
+                    b = (jnp.maximum(xt - pl[:, j], 0.0)
+                         * jnp.maximum(ph[:, j] - xt, 0.0) * r)
+                    out.append(b * b)
+                return out
+
+            return relukan_list
 
         if fam == "kan":
             knots = (tuple(self.grid_override)
@@ -545,7 +586,8 @@ class KanConvND(nn.Module):
         fn = fns[fam]
         return lambda xt: fn(sq(xt) if sq is not None else xt)
 
-    def _maybe_fused(self, x, base_w, poly_w, act, train, kshape):
+    def _maybe_fused(self, x, base_w, poly_w, act, train, kshape,
+                     beta=None, phase_low=None, phase_high=None):
         """Returns the fused pre-norm output, or None to use the jnp path."""
         import jax as _jax
 
@@ -556,8 +598,10 @@ class KanConvND(nn.Module):
             return None
         if self.use_pallas == "auto" and _jax.default_backend() != "tpu":
             return None
-        # pre-basis dropout can't cross the kernel boundary
-        if train and self.dropout > 0 and spec.dropout_site != "output":
+        # pre-basis dropout can't cross the kernel boundary ('input'-site
+        # dropout is fine: it applies to x before both paths)
+        if train and self.dropout > 0 and spec.dropout_site not in (
+                "output", "input"):
             return None
         if len(set(kshape)) != 1 or x.dtype != jnp.float32:
             return None
@@ -572,7 +616,12 @@ class KanConvND(nn.Module):
                          self.output_dim, pad):
             return None
 
-        basis_list_fn = self._fused_basis_list_fn()
+        basis_list_fn = self._fused_basis_list_fn(act)
+        extras = ()
+        if self.family == "gram":
+            extras = (beta,)
+        elif self.family == "relukan":
+            extras = (phase_low, phase_high)
         base_act = None
         if spec.has_base and spec.base_input == "act":
             base_act = act
@@ -580,9 +629,10 @@ class KanConvND(nn.Module):
             basis_list_fn=basis_list_fn, num_basis=self.num_basis,
             base_act=base_act, kernel_size=kshape[0], padding=int(pad),
             degree_major=(spec.layout == "degree_major"),
-            has_base=spec.has_base, interpret=self.pallas_interpret)
+            has_base=spec.has_base, interpret=self.pallas_interpret,
+            n_extra=len(extras))
         dummy = base_w if base_w is not None else jnp.zeros((), x.dtype)
-        return op(x, dummy, poly_w)
+        return op(x, dummy, poly_w, *extras)
 
 
 def make_kan_conv(family: str, ndim: int, **kwargs) -> KanConvND:

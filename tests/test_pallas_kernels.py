@@ -12,7 +12,8 @@ import pytest
 
 from convkan_tpu.nn.kan_conv import KanConvND
 
-FAMILIES = ["kan", "cheby", "bessel", "taylor", "jacobi", "fourier"]
+FAMILIES = ["kan", "cheby", "bessel", "taylor", "jacobi", "fourier",
+            "gram", "relukan"]
 
 
 def _pair(family, interpret):
@@ -35,7 +36,7 @@ def test_fused_forward_matches_jnp(family):
                                atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("family", ["kan", "cheby"])
+@pytest.mark.parametrize("family", ["kan", "cheby", "gram", "relukan"])
 def test_fused_gradients_match(family):
     fused, plain = _pair(family, interpret=True)
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 8), jnp.float32)
