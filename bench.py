@@ -1,33 +1,97 @@
 """Benchmark: KAN-VGG CIFAR-10 training throughput (images/sec/chip).
 
-Prints ONE JSON line:
-  {"metric": "kan_vgg_cifar10_train_throughput", "value": N,
-   "unit": "images/sec/chip", "vs_baseline": R}
+Prints ONE JSON line with the audited fields VERDICT.md asked for:
+  {"metric": "...", "value": N, "unit": "images/sec/chip",
+   "vs_baseline": R, "device_kind": "...", "flops_per_step": F,
+   "mfu": M, "tflops": T, "runs": [...]}
 
-`vs_baseline` is the ratio against the PyTorch reference implementation
-running the same model/batch on this host's CPU (the only reference
-hardware available here; the reference has no GPU numbers — BASELINE.md).
-The control number is measured once and cached in baseline_measured.json.
+Measurement methodology (see BENCH_NOTES.md):
+  * `block_until_ready` does NOT block through this host's remote-TPU
+    tunnel (measured: a 20-step loop "finishes" at 54 PFLOP/s).  All round-1
+    numbers were dispatch-rate artifacts.  Every timing here forces a HOST
+    READBACK of a value data-dependent on the full computation.
+  * Steps are chained inside ONE jitted lax.scan, so the number is device
+    throughput (what a production input pipeline sustains), not tunnel
+    round-trip latency (~20 ms/dispatch here, ~100 us on a local host).
+  * FLOPs come from the compiled step's cost_analysis() — no hand model.
+  * value = median over WINDOWS windows; min/max recorded in "runs".
 
-Config: VGG16_small with B-spline KAN convs (grid 5, order 3), batch 1024,
-32x32x3, full train step (fwd+bwd+AdamW), synthetic CIFAR-shaped data.
+`vs_baseline` is ours / the PyTorch reference on this host's CPU (the only
+reference hardware available; the reference publishes no numbers —
+BASELINE.md).  The control is cached in baseline_measured.json.
+
+Headline config: BASELINE.md config 3 shape — VGG16_small, B-spline KAN
+convs (grid 5, order 3), batch 1024, CIFAR-10 train step (on-device
+augment + fwd + bwd + AdamW).  `python bench.py --all` additionally runs
+BASELINE configs 1/2/4/5 and writes BENCH_DETAILS.json.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import sys
 import time
 
 BATCH = 1024
-STEPS = 30
-WARMUP = 5
+STEPS = 20
+WINDOWS = 5
 ARCH = "VGG16_small"
-BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "baseline_measured.json")
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE_CACHE = os.path.join(HERE, "baseline_measured.json")
+
+# bf16 peak TFLOP/s per chip (public spec sheets)
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5e": 197.0,
+    "TPU v5p": 459.0,
+    "TPU v5": 459.0,
+    "TPU v6 lite": 918.0,   # v6e / Trillium
+    "TPU v6e": 918.0,
+}
 
 
-def measure_ours() -> float:
+def _sync(x):
+    """Honest device sync: fetch one data-dependent scalar to the host."""
+    import jax
+    import numpy as np
+
+    return np.asarray(jax.device_get(x)).ravel()[:1]
+
+
+def _flops_of(jitted, *args) -> float:
+    ca = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca.get("flops", 0.0))
+
+
+def _timed_windows(run_once, items_per_call: int, windows: int = WINDOWS):
+    """run_once() must end in a host readback.  Returns items/sec list."""
+    run_once()  # warmup / compile
+    out = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        run_once()
+        out.append(items_per_call / (time.perf_counter() - t0))
+    out.sort()
+    return out
+
+
+def _mfu_fields(ips: float, flops_per_item: float, device_kind: str):
+    tflops = ips * flops_per_item / 1e12
+    peak = PEAK_TFLOPS.get(device_kind)
+    return {
+        "tflops": round(tflops, 2),
+        "mfu": round(tflops / peak, 4) if peak else None,
+        "peak_tflops_assumed": peak,
+    }
+
+
+# ------------------------------------------------------------ config 3
+def measure_vgg_train(batch=BATCH, steps=STEPS):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -36,31 +100,265 @@ def measure_ours() -> float:
     from convkan_tpu.train.loop import make_train_step
     from convkan_tpu.train.state import create_train_state
 
-    model = vggkan(3, 10, arch=ARCH, kan_conv="KAN",
-                   classifier_type="Linear")
-    x0 = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
+    model = vggkan(3, 10, arch=ARCH, kan_conv="KAN", classifier_type="Linear")
+    x0 = jnp.zeros((batch, 32, 32, 3), jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(0), x0,
                                steps_per_epoch=100)
     step = make_train_step(model, "CIFAR10", augment=True)
 
     rng = jax.random.PRNGKey(1)
-    xb = np.random.RandomState(0).randint(0, 256, (BATCH, 32, 32, 3),
-                                          dtype=np.uint8)
-    yb = np.random.RandomState(1).randint(0, 10, (BATCH,), dtype=np.int32)
+    xb = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (batch, 32, 32, 3), dtype=np.uint8))
+    yb = jnp.asarray(np.random.RandomState(1).randint(
+        0, 10, (batch,), dtype=np.int32))
 
-    for _ in range(WARMUP):
-        state, loss = step(state, rng, xb, yb)
-    loss.block_until_ready()
-    best = 0.0
-    for _ in range(3):  # best-of-3: the shared device's load varies ~2x
-        t0 = time.perf_counter()
-        for _ in range(STEPS):
-            state, loss = step(state, rng, xb, yb)
-        loss.block_until_ready()
-        best = max(best, BATCH * STEPS / (time.perf_counter() - t0))
-    return best
+    flops = _flops_of(step, state, rng, xb, yb)
+
+    # one dispatch, `steps` train steps chained on device
+    def scan_steps(state, rng):
+        def body(s, i):
+            s, loss = step.__wrapped__(s, jax.random.fold_in(rng, i), xb, yb)
+            return s, loss
+        s, losses = jax.lax.scan(body, state, jnp.arange(steps))
+        return s, losses[-1]
+
+    scan_jit = jax.jit(scan_steps, donate_argnums=0)
+
+    holder = {"state": state}
+
+    def run_once():
+        holder["state"], loss = scan_jit(holder["state"], rng)
+        _sync(loss)
+
+    runs = _timed_windows(lambda: run_once(), batch * steps)
+    return {
+        "metric": "kan_vgg_cifar10_train_throughput",
+        "unit": "images/sec/chip",
+        "value": round(statistics.median(runs), 2),
+        "runs": [round(r, 1) for r in runs],
+        "flops_per_step": flops,
+        "flops_per_image": round(flops / batch),
+        "batch": batch,
+        "steps_per_window": steps,
+    }
 
 
+# ------------------------------------------------------------ config 1
+def measure_kanconv_micro():
+    """KANConv2DLayer(3->16, k=3, grid 5, order 3) fwd+bwd, 16x3x32x32
+    (BASELINE config 1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from convkan_tpu.nn.kan_conv import KANConv2DLayer
+
+    m = KANConv2DLayer(3, 16, 3, padding=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 32, 32, 3))
+    params = m.init(jax.random.PRNGKey(1), x, train=False)
+
+    def loss(p, x):
+        return jnp.sum(m.apply(p, x, train=False) ** 2)
+
+    g = jax.jit(jax.grad(loss))
+    flops = _flops_of(g, params, x)
+    reps = 200
+
+    @jax.jit
+    def many(p, x):
+        def body(c, i):
+            gr = jax.grad(loss)(p, x + c)
+            return c * 0.0, gr["params"]["poly_w"][0, 0, 0, 0]
+        c, gs = jax.lax.scan(body, 0.0, jnp.arange(reps))
+        return gs[-1]
+
+    def run_once():
+        _sync(many(params, x))
+
+    runs = _timed_windows(run_once, reps)
+    med = statistics.median(runs)
+    return {
+        "metric": "kanconv2d_3to16_fwdbwd",
+        "unit": "us/step",
+        "value": round(1e6 / med, 2),
+        "runs_steps_per_sec": [round(r, 1) for r in runs],
+        "flops_per_step": flops,
+    }
+
+
+# ------------------------------------------------------------ config 2
+def measure_fastkan_mlp(batch=1024, steps=50):
+    """FastKAN MLP [784,128,64,10] MNIST-shaped train step (config 2)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convkan_tpu.factory.mlp_factory import MLP_KAN_FACTORY
+    from convkan_tpu.train.state import create_train_state
+    from convkan_tpu.train.metrics import cross_entropy_loss
+
+    model = MLP_KAN_FACTORY["FastKAN"]([784, 128, 64, 10])
+    x0 = jnp.zeros((batch, 784), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                               steps_per_epoch=100)
+    xb = jnp.asarray(np.random.RandomState(0).rand(batch, 784), jnp.float32)
+    yb = jnp.asarray(np.random.RandomState(1).randint(
+        0, 10, (batch,), dtype=np.int32))
+
+    def step(state, rng):
+        def loss_fn(p):
+            out = model.apply({"params": p}, xb, train=True,
+                              rngs={"dropout": rng})
+            return cross_entropy_loss(out, yb)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    flops = _flops_of(jax.jit(step), state, jax.random.PRNGKey(1))
+
+    @jax.jit
+    def scan_steps(state, rng):
+        def body(s, i):
+            return step(s, jax.random.fold_in(rng, i))
+        s, losses = jax.lax.scan(body, state, jnp.arange(steps))
+        return s, losses[-1]
+
+    holder = {"state": state}
+
+    def run_once():
+        holder["state"], loss = scan_steps(holder["state"],
+                                           jax.random.PRNGKey(2))
+        _sync(loss)
+
+    runs = _timed_windows(run_once, batch * steps)
+    return {
+        "metric": "fastkan_mlp_mnist_train_throughput",
+        "unit": "images/sec/chip",
+        "value": round(statistics.median(runs), 2),
+        "runs": [round(r, 1) for r in runs],
+        "flops_per_step": flops,
+    }
+
+
+# ------------------------------------------------------------ config 4
+def measure_wavkan(batch=256, steps=10):
+    """WavKAN conv stack (mexican_hat, fast) CIFAR-100 train step
+    (config 4; stack shape from wav_kan_layers.py:469-476)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convkan_tpu.nn.wav_conv import WavKANConv2DLayer
+    from convkan_tpu.ops.layers import Linear
+    from convkan_tpu.ops.pooling import adaptive_avg_pool
+    from convkan_tpu.train.metrics import cross_entropy_loss
+    from convkan_tpu.train.state import create_train_state
+
+    class WavNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            for c in (32, 64, 128):
+                x = WavKANConv2DLayer(
+                    x.shape[-1], c, 3, padding=1, wavelet_type="mexican_hat",
+                    wav_version="fast")(x, train=train)
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = adaptive_avg_pool(x, (1, 1)).reshape(x.shape[0], -1)
+            return Linear(x.shape[-1], 100)(x)
+
+    model = WavNet()
+    x0 = jnp.zeros((batch, 32, 32, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                               steps_per_epoch=100)
+    xb = jnp.asarray(np.random.RandomState(0).rand(batch, 32, 32, 3),
+                     jnp.float32)
+    yb = jnp.asarray(np.random.RandomState(1).randint(
+        0, 100, (batch,), dtype=np.int32))
+
+    def step(state, rng):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": state.batch_stats}, xb,
+                train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+            return cross_entropy_loss(out, yb), mut["batch_stats"]
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(grads, new_batch_stats=new_stats), loss
+
+    flops = _flops_of(jax.jit(step), state, jax.random.PRNGKey(1))
+
+    @jax.jit
+    def scan_steps(state, rng):
+        def body(s, i):
+            return step(s, jax.random.fold_in(rng, i))
+        s, losses = jax.lax.scan(body, state, jnp.arange(steps))
+        return s, losses[-1]
+
+    holder = {"state": state}
+
+    def run_once():
+        holder["state"], loss = scan_steps(holder["state"],
+                                           jax.random.PRNGKey(2))
+        _sync(loss)
+
+    runs = _timed_windows(run_once, batch * steps)
+    return {
+        "metric": "wavkan_cifar100_train_throughput",
+        "unit": "images/sec/chip",
+        "value": round(statistics.median(runs), 2),
+        "runs": [round(r, 1) for r in runs],
+        "flops_per_step": flops,
+    }
+
+
+# ------------------------------------------------------------ config 5
+def measure_mobilenetv3_224(batch=64, steps=5):
+    """KAN-MobileNetV3 small @224^2 train step (config 5, single chip —
+    the dp-mesh variant is exercised by __graft_entry__.dryrun_multichip)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convkan_tpu.models.mobilenetv3 import mobilenet_v3_kan
+    from convkan_tpu.train.loop import make_train_step
+    from convkan_tpu.train.state import create_train_state
+
+    model = mobilenet_v3_kan("small", num_classes=10,
+                             kan_conv="FastKAN")
+    x0 = jnp.zeros((batch, 224, 224, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                               steps_per_epoch=100)
+    step = make_train_step(model, "CIFAR10", augment=False, imagenet=True)
+    rng = jax.random.PRNGKey(1)
+    xb = jnp.asarray(np.random.RandomState(0).randint(
+        0, 256, (batch, 224, 224, 3), dtype=np.uint8))
+    yb = jnp.asarray(np.random.RandomState(1).randint(
+        0, 10, (batch,), dtype=np.int32))
+    flops = _flops_of(step, state, rng, xb, yb)
+
+    def scan_steps(state, rng):
+        def body(s, i):
+            s, loss = step.__wrapped__(s, jax.random.fold_in(rng, i), xb, yb)
+            return s, loss
+        s, losses = jax.lax.scan(body, state, jnp.arange(steps))
+        return s, losses[-1]
+
+    scan_jit = jax.jit(scan_steps, donate_argnums=0)
+    holder = {"state": state}
+
+    def run_once():
+        holder["state"], loss = scan_jit(holder["state"], rng)
+        _sync(loss)
+
+    runs = _timed_windows(run_once, batch * steps, windows=3)
+    return {
+        "metric": "kan_mobilenetv3_small_224_train_throughput",
+        "unit": "images/sec/chip",
+        "value": round(statistics.median(runs), 2),
+        "runs": [round(r, 1) for r in runs],
+        "flops_per_step": flops,
+    }
+
+
+# ------------------------------------------------------------ reference
 TORCH_BATCH = 128  # CPU control batch (per-image cost is batch-flat on CPU)
 
 
@@ -138,8 +436,8 @@ def get_baseline() -> float:
             v = measure_torch_reference()
             with open(BASELINE_CACHE, "w") as f:
                 json.dump({"torch_cpu_images_per_sec": v,
-                           "config": f"{ARCH} KAN conv batch {BATCH} "
-                                     "fwd+bwd+AdamW, host CPU"}, f)
+                           "config": f"{ARCH} KAN conv fwd+bwd+AdamW, "
+                                     "host CPU"}, f)
             return v
         except Exception:
             return 0.0
@@ -147,15 +445,36 @@ def get_baseline() -> float:
 
 
 def main():
-    ours = measure_ours()
+    import jax
+
+    device_kind = jax.devices()[0].device_kind
+    head = measure_vgg_train()
+    head.update(_mfu_fields(head["value"],
+                            head["flops_per_step"] / head["batch"],
+                            device_kind))
+    head["device_kind"] = device_kind
+
+    if "--all" in sys.argv:
+        details = {"device_kind": device_kind, "config3": head}
+        for key, fn in (("config1", measure_kanconv_micro),
+                        ("config2", measure_fastkan_mlp),
+                        ("config4", measure_wavkan),
+                        ("config5", measure_mobilenetv3_224)):
+            try:
+                details[key] = fn()
+            except Exception as e:  # record, don't abort the headline
+                details[key] = {"error": f"{type(e).__name__}: {e}"}
+        with open(os.path.join(HERE, "BENCH_DETAILS.json"), "w") as f:
+            json.dump(details, f, indent=1)
+
     base = get_baseline()
-    ratio = ours / base if base > 0 else None
-    print(json.dumps({
-        "metric": "kan_vgg_cifar10_train_throughput",
-        "value": round(ours, 2),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(ratio, 2) if ratio else 0.0,
-    }))
+    head["vs_baseline"] = round(head["value"] / base, 2) if base > 0 else 0.0
+    head["baseline"] = "PyTorch reference, same model, this host's CPU"
+    # stable key order for the driver: metric/value/unit/vs_baseline first
+    ordered = {k: head[k] for k in
+               ("metric", "value", "unit", "vs_baseline") if k in head}
+    ordered.update({k: v for k, v in head.items() if k not in ordered})
+    print(json.dumps(ordered))
 
 
 if __name__ == "__main__":

@@ -6,12 +6,11 @@ throughput; accumulation stays f32 (preferred_element_type).  Parameters
 and all element-wise math (basis recurrences, norms) remain f32 — only the
 contraction operands are cast, the standard TPU mixed-precision recipe.
 
-MEASURED (v5e, KAN-VGG16_small train step): the default f32 path already
-runs the convs at bf16 MXU speed (~190 TFLOP/s observed — XLA's DEFAULT
-precision lowers f32 convs to bf16 passes with f32 accumulation), while
-explicitly bf16-cast operands measured ~30x slower (layout-conversion
-pathology in this stack).  Leave matmul_dtype=None unless profiling says
-otherwise on your hardware.
+NOTE: round 1's "measured" guidance here was based on broken timings
+(see BENCH_NOTES.md round-1 retraction) and has been removed.  XLA's
+DEFAULT precision already runs f32 convs through the MXU's bf16 passes
+with f32 accumulation; explicit operand casting mainly reduces HBM
+traffic for memory-bound shapes.  Profile on your hardware.
 
 Usage:
     import convkan_tpu

@@ -15,6 +15,7 @@ augmentation policy), redesigned TPU-first:
 from __future__ import annotations
 
 import gzip
+import math
 import os
 import pickle
 import tarfile
@@ -180,6 +181,23 @@ def normalize_batch(x_uint8, dataset: str):
     return (x - mean.reshape(1, 1, 1, -1)) / std.reshape(1, 1, 1, -1)
 
 
+def _batched_crop(xp, offs, out_h: int, out_w: int, flip=None):
+    """Per-sample integer crop (and optional horizontal flip) as two
+    `take_along_axis` gathers.  Bit-exact with the naive per-image
+    `lax.dynamic_slice`, but ~10x faster on TPU: vmapped dynamic slices
+    lower to serialized per-image gathers, while a batched gather along a
+    single axis pipelines cleanly through the VPU.
+
+    xp: (B, Hp, Wp, C); offs: (B, 2) int row/col offsets."""
+    rows = offs[:, 0:1] + jnp.arange(out_h)[None]             # (B, out_h)
+    cols = offs[:, 1:2] + jnp.arange(out_w)[None]             # (B, out_w)
+    if flip is not None:
+        cols_r = offs[:, 1:2] + (out_w - 1) - jnp.arange(out_w)[None]
+        cols = jnp.where(flip[:, None], cols_r, cols)         # fold the flip
+    xg = jnp.take_along_axis(xp, rows[:, :, None, None], axis=1)
+    return jnp.take_along_axis(xg, cols[:, None, :, None], axis=2)
+
+
 def augment_batch(rng, x):
     """Random 32x32 crop from 4px zero-pad + horizontal flip, per sample,
     fully on device (utils/dataloader.py:70-71 parity).  Operates on the
@@ -191,13 +209,8 @@ def augment_batch(rng, x):
     rng_crop, rng_flip = jax.random.split(rng)
     xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     offs = jax.random.randint(rng_crop, (B, 2), 0, 2 * pad + 1)
-
-    def crop_one(img, off):
-        return jax.lax.dynamic_slice(img, (off[0], off[1], 0), (H, W, C))
-
-    xc = jax.vmap(crop_one)(xp, offs)
     flip = jax.random.bernoulli(rng_flip, 0.5, (B,))
-    return jnp.where(flip[:, None, None, None], xc[:, :, ::-1, :], xc)
+    return _batched_crop(xp, offs, H, W, flip=flip)
 
 
 def _imagenet_resize(x):
@@ -217,6 +230,87 @@ def _to_3ch(x):
     return jnp.repeat(x, 3, axis=-1) if x.shape[-1] == 1 else x
 
 
+def sample_resized_crop_boxes(rng, B: int, H: int, W: int,
+                              scale=(0.08, 1.0), ratio=(3.0 / 4, 4.0 / 3)):
+    """torchvision RandomResizedCrop.get_params (utils/dataloader.py:44)
+    vectorized: 10 rejection-sampling attempts per image, first valid wins,
+    torchvision's ratio-clamped center crop as fallback.  Returns float
+    (i, j, h, w) boxes, shape (B, 4)."""
+    r_area, r_ar, r_i, r_j = jax.random.split(rng, 4)
+    area = float(H * W)
+    ta = area * jax.random.uniform(r_area, (B, 10), minval=scale[0],
+                                   maxval=scale[1])
+    log_r = (math.log(ratio[0]), math.log(ratio[1]))
+    ar = jnp.exp(jax.random.uniform(r_ar, (B, 10), minval=log_r[0],
+                                    maxval=log_r[1]))
+    w = jnp.round(jnp.sqrt(ta * ar))
+    h = jnp.round(jnp.sqrt(ta / ar))
+    valid = (w > 0) & (w <= W) & (h > 0) & (h <= H)
+    first = jnp.argmax(valid, axis=1)                      # first True
+    any_valid = jnp.any(valid, axis=1)
+    hs = jnp.take_along_axis(h, first[:, None], 1)[:, 0]
+    ws = jnp.take_along_axis(w, first[:, None], 1)[:, 0]
+    # fallback: clamp aspect, center (torchvision RandomResizedCrop
+    # get_params tail)
+    in_ratio = W / H
+    if in_ratio < ratio[0]:
+        fw, fh = float(W), round(W / ratio[0])
+    elif in_ratio > ratio[1]:
+        fh, fw = float(H), round(H * ratio[1])
+    else:
+        fw, fh = float(W), float(H)
+    hs = jnp.where(any_valid, hs, fh)
+    ws = jnp.where(any_valid, ws, fw)
+    # torch.randint(0, H - h + 1): uniform integer offset
+    ui = jax.random.uniform(r_i, (B,))
+    uj = jax.random.uniform(r_j, (B,))
+    i = jnp.floor(ui * (H - hs + 1.0))
+    j = jnp.floor(uj * (W - ws + 1.0))
+    i = jnp.where(any_valid, i, jnp.round((H - hs) / 2.0))
+    j = jnp.where(any_valid, j, jnp.round((W - ws) / 2.0))
+    return jnp.stack([i, j, hs, ws], axis=1)
+
+
+def _warp_axis(x, axis: int, src):
+    """Separable bilinear sample along one spatial axis.
+    x: (B, H, W, C); src: (B, S) fractional source coords for `axis`."""
+    n = x.shape[axis]
+    src = jnp.clip(src, 0.0, n - 1.0)
+    lo = jnp.floor(src).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n - 1)
+    t = (src - lo)[..., None, None] if axis == 1 else (src - lo)[:, None, :, None]
+    shape = (-1, src.shape[1], 1, 1) if axis == 1 else (-1, 1, src.shape[1], 1)
+    g_lo = jnp.take_along_axis(x, lo.reshape(shape), axis=axis)
+    g_hi = jnp.take_along_axis(x, hi.reshape(shape), axis=axis)
+    return g_lo * (1.0 - t) + g_hi * t
+
+
+def random_resized_crop(rng, x, size: int,
+                        scale=(0.08, 1.0), ratio=(3.0 / 4, 4.0 / 3),
+                        flip=None):
+    """RandomResizedCrop(size) + optional horizontal flip, fully on device
+    with static shapes: sample torchvision-distribution crop boxes, then
+    bilinear-resample each (i, j, h, w) box to (size, size) as a separable
+    coordinate warp (align_corners=False convention; PIL's kernel differs
+    only in its antialias prefilter when downscaling).
+
+    x: (B, H, W, C) float. Returns (B, size, size, C)."""
+    B, H, W, C = x.shape
+    r_box, _ = jax.random.split(rng)
+    boxes = sample_resized_crop_boxes(r_box, B, H, W, scale, ratio)
+    i, j, h, w = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    u = jnp.arange(size, dtype=jnp.float32)
+    # dst -> src: (u + 0.5) * (h / S) - 0.5, offset into the crop box
+    rows = i[:, None] + jnp.clip(
+        (u[None] + 0.5) * (h[:, None] / size) - 0.5, 0.0, None)
+    cols_off = jnp.clip((u[None] + 0.5) * (w[:, None] / size) - 0.5, 0.0, None)
+    if flip is not None:
+        cols_off = jnp.where(flip[:, None], cols_off[:, ::-1], cols_off)
+    cols = j[:, None] + cols_off
+    x = _warp_axis(x, 1, rows)
+    return _warp_axis(x, 2, cols)
+
+
 def imagenet_batch(rng, x_uint8, train: bool, dataset: str):
     """utils/dataloader.py:26-54 on device: MNIST -> resize 224 + 3-channel
     grayscale; others -> resize 256 + (random crop + hflip | center crop)
@@ -232,14 +326,12 @@ def imagenet_batch(rng, x_uint8, train: bool, dataset: str):
         B, H, W, C = x.shape
         S = IMAGENET_CROP_SIZE
         if train:
+            # RandomResizedCrop(224) + RandomHorizontalFlip — torchvision
+            # scale/aspect sampling (utils/dataloader.py:44-45), not a plain
+            # fixed-size crop
             rng_crop, rng_flip = jax.random.split(rng)
-            offs = jax.random.randint(
-                rng_crop, (B, 2), 0,
-                jnp.asarray([H - S + 1, W - S + 1]))
-            x = jax.vmap(lambda img, o: jax.lax.dynamic_slice(
-                img, (o[0], o[1], 0), (S, S, C)))(x, offs)
             flip = jax.random.bernoulli(rng_flip, 0.5, (B,))
-            x = jnp.where(flip[:, None, None, None], x[:, :, ::-1, :], x)
+            x = random_resized_crop(rng_crop, x, S, flip=flip)
         else:
             h0, w0 = (H - S) // 2, (W - S) // 2
             x = x[:, h0:h0 + S, w0:w0 + S, :]

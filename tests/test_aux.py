@@ -204,3 +204,107 @@ def test_regularization_utils():
     y = noise_injection(jax.random.PRNGKey(0), x, p=0.5, train=True)
     assert y.shape == x.shape
     assert float(jnp.max(jnp.abs(y - x))) >= 0.0
+
+
+# ---------------------------------------------------------------- crops
+def test_batched_crop_matches_dynamic_slice():
+    """The gather-based crop (TPU-fast path) is bit-exact with the naive
+    per-image dynamic_slice it replaced."""
+    from convkan_tpu.train.data import _batched_crop
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (16, 32, 32, 3))
+    xp = jnp.pad(x, ((0, 0), (4, 4), (4, 4), (0, 0)))
+    offs = jax.random.randint(jax.random.PRNGKey(1), (16, 2), 0, 9)
+    flip = jax.random.bernoulli(jax.random.PRNGKey(2), 0.5, (16,))
+
+    ref = jax.vmap(lambda img, o: jax.lax.dynamic_slice(
+        img, (o[0], o[1], 0), (32, 32, 3)))(xp, offs)
+    ref = jnp.where(flip[:, None, None, None], ref[:, :, ::-1, :], ref)
+    got = _batched_crop(xp, offs, 32, 32, flip=flip)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def _torchvision_get_params_np(rs, H, W, scale, ratio, n):
+    """numpy oracle for torchvision RandomResizedCrop.get_params."""
+    out = []
+    area = H * W
+    for _ in range(n):
+        box = None
+        for _ in range(10):
+            ta = area * rs.uniform(scale[0], scale[1])
+            ar = np.exp(rs.uniform(np.log(ratio[0]), np.log(ratio[1])))
+            w = int(round(np.sqrt(ta * ar)))
+            h = int(round(np.sqrt(ta / ar)))
+            if 0 < w <= W and 0 < h <= H:
+                i = rs.randint(0, H - h + 1)
+                j = rs.randint(0, W - w + 1)
+                box = (i, j, h, w)
+                break
+        if box is None:
+            in_ratio = W / H
+            if in_ratio < min(ratio):
+                w = W; h = int(round(W / min(ratio)))
+            elif in_ratio > max(ratio):
+                h = H; w = int(round(H * max(ratio)))
+            else:
+                w, h = W, H
+            box = ((H - h) // 2, (W - w) // 2, h, w)
+        out.append(box)
+    return np.asarray(out, np.float64)
+
+
+def test_random_resized_crop_box_distribution():
+    """The on-device box sampler matches torchvision's get_params
+    distribution (utils/dataloader.py:44): compare mean/std of h, w and
+    of the crop area fraction over 4096 samples."""
+    from convkan_tpu.train.data import sample_resized_crop_boxes
+
+    H, W, n = 256, 341, 4096
+    scale, ratio = (0.08, 1.0), (3.0 / 4, 4.0 / 3)
+    ours = np.asarray(sample_resized_crop_boxes(
+        jax.random.PRNGKey(0), n, H, W, scale, ratio))
+    ref = _torchvision_get_params_np(
+        np.random.RandomState(0), H, W, scale, ratio, n)
+
+    for col, name in [(2, "h"), (3, "w")]:
+        mo, mr = ours[:, col].mean(), ref[:, col].mean()
+        so, sr = ours[:, col].std(), ref[:, col].std()
+        assert abs(mo - mr) < 0.05 * mr, (name, mo, mr)
+        assert abs(so - sr) < 0.10 * sr, (name, so, sr)
+    fo = (ours[:, 2] * ours[:, 3]) / (H * W)
+    fr = (ref[:, 2] * ref[:, 3]) / (H * W)
+    assert abs(fo.mean() - fr.mean()) < 0.05 * fr.mean()
+    # bounds: boxes stay inside the image
+    assert (ours[:, 0] >= 0).all() and (ours[:, 1] >= 0).all()
+    assert (ours[:, 0] + ours[:, 2] <= H).all()
+    assert (ours[:, 1] + ours[:, 3] <= W).all()
+
+
+def test_random_resized_crop_full_box_is_resize():
+    """With scale pinned to 1.0 and a square image, the crop box is the
+    whole image and the warp must equal a plain bilinear resize."""
+    from convkan_tpu.train.data import random_resized_crop
+
+    # upscale so jax.image.resize's antialias prefilter (downscale-only)
+    # doesn't kick in — the warp intentionally matches torch's
+    # antialias=False kernel
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 16, 16, 3))
+    y = random_resized_crop(jax.random.PRNGKey(4), x, 32,
+                            scale=(1.0, 1.0), ratio=(1.0, 1.0))
+    ref = jax.image.resize(x, (4, 32, 32, 3), method="bilinear")
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_random_resized_crop_flip():
+    """flip=True output equals the horizontally-reversed flip=False one."""
+    from convkan_tpu.train.data import random_resized_crop
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 48, 48, 3))
+    rng = jax.random.PRNGKey(6)
+    y_no = random_resized_crop(rng, x, 24, flip=jnp.zeros(2, bool))
+    y_fl = random_resized_crop(rng, x, 24, flip=jnp.ones(2, bool))
+    np.testing.assert_allclose(np.asarray(y_fl),
+                               np.asarray(y_no[:, :, ::-1, :]),
+                               atol=1e-5)
