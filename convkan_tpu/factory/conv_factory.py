@@ -6,12 +6,11 @@ Each builder keeps the reference signature
 with automatic 'same' padding when `padding` is None
 (layers/kan_conv.py:12-25) and returns a configured Flax module.
 
-`l1_decay` note: the reference wraps layers in an L1 backward hook that
-only writes a gradient when the true grad is zero/None
-(utils/regularization.py:76-86) — i.e. it almost never acts.  We record
-the requested decay on the module metadata so the training harness can
-apply an explicit L1 penalty when asked (opt-in true-L1), and otherwise
-preserve the reference's effective no-op behavior.
+`l1_decay` note: when `l1_decay > 0` the built layer is wrapped in
+utils.regularization.L1, which sows a true per-layer L1 penalty into the
+'losses' collection consumed by the training loop — layer-scoped exactly
+like the reference's wrapper interface implies (the reference's hook
+itself is inert; PARITY.md documents the deviation).
 """
 
 from __future__ import annotations
@@ -25,18 +24,18 @@ from ..nn.wav_conv import WavKANConvND
 from ..ops.conv import same_padding
 from ..ops.std_conv import StdConvBlock
 from ..utils.norms import BatchNorm, InstanceNorm, resolve_norm
-
-_L1_REGISTRY: dict[int, float] = {}
+from ..utils.regularization import L1
 
 
 def _mark_l1(module, l1_decay: float):
     if l1_decay and l1_decay > 0:
-        _L1_REGISTRY[id(module)] = float(l1_decay)
+        return L1(layer=module, weight_decay=float(l1_decay))
     return module
 
 
 def l1_decay_of(module) -> float:
-    return _L1_REGISTRY.get(id(module), 0.0)
+    """Decay of an L1-wrapped module (0.0 for unwrapped modules)."""
+    return module.weight_decay if isinstance(module, L1) else 0.0
 
 
 def _pad(padding, kernel_size, dilation):

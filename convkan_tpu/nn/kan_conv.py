@@ -611,9 +611,15 @@ class KanConvND(nn.Module):
                 return None
             pad = pad[0]
         B, H, W, C = x.shape[0], x.shape[1], x.shape[2], x.shape[3]
-        if not supported(self.ndim, self.stride, self.dilation, self.groups,
-                         kshape[0], H, W, C, self.num_basis,
-                         self.output_dim, pad):
+        from ..kernels.wide_kan_conv import wide_supported
+        v1_ok = supported(self.ndim, self.stride, self.dilation, self.groups,
+                          kshape[0], H, W, C, self.num_basis,
+                          self.output_dim, pad)
+        wide_ok = wide_supported(self.ndim, self.stride, self.dilation,
+                                 self.groups, kshape[0], H, W, C,
+                                 self.num_basis, self.output_dim, pad,
+                                 self.spec.has_base)
+        if not (v1_ok or wide_ok):
             return None
 
         basis_list_fn = self._fused_basis_list_fn(act)
@@ -625,13 +631,28 @@ class KanConvND(nn.Module):
         base_act = None
         if spec.has_base and spec.base_input == "act":
             base_act = act
+        dummy = base_w if base_w is not None else jnp.zeros((), x.dtype)
+
+        # Prefer the wide-matmul kernel (fused fwd AND bwd, full-lane MXU
+        # contractions — kernels/wide_kan_conv.py); fall back to the v1
+        # per-tap kernel where the wide working set does not fit.
+        from .. import config as _cfg
+        from ..kernels.wide_kan_conv import make_wide_kan_conv_op
+        if wide_ok:
+            op = make_wide_kan_conv_op(
+                basis_list_fn=basis_list_fn, num_basis=self.num_basis,
+                base_act=base_act, kernel_size=kshape[0], padding=int(pad),
+                degree_major=(spec.layout == "degree_major"),
+                has_base=spec.has_base, interpret=self.pallas_interpret,
+                compute_dtype=_cfg.get_matmul_dtype())
+            return op(x, dummy, poly_w, *extras)
+
         op, _ = make_fused_kan_conv_op(
             basis_list_fn=basis_list_fn, num_basis=self.num_basis,
             base_act=base_act, kernel_size=kshape[0], padding=int(pad),
             degree_major=(spec.layout == "degree_major"),
             has_base=spec.has_base, interpret=self.pallas_interpret,
             n_extra=len(extras))
-        dummy = base_w if base_w is not None else jnp.zeros((), x.dtype)
         return op(x, dummy, poly_w, *extras)
 
 

@@ -111,6 +111,10 @@ class KanMLP(nn.Module):
             zip(self.layers_hidden[:-1], self.layers_hidden[1:])
         ):
             layer = _build_layer(self.family, int(in_f), int(out_f), self.cfg)
+            if self.l1_decay > 0 and i != n - 1:
+                # reference wraps every layer but the last (kans.py:46-47)
+                from ..utils.regularization import L1
+                layer = L1(layer=layer, weight_decay=self.l1_decay)
             x = layer(x, train=train)
             if self.dropout > 0 and i != n - 1:
                 x = nn.Dropout(rate=self.dropout)(x, deterministic=not train)

@@ -34,6 +34,7 @@ from . import checkpoint as ckpt_lib
 from .data import ArrayDataset, epoch_batches, normalize_batch, train_batch
 from .metrics import (accuracy_from_cm, cross_entropy_loss, macro_prf1)
 from .state import TrainState, create_train_state, l1_penalty
+from ..utils.regularization import sown_losses_total
 
 logger = logging.getLogger(__name__)
 
@@ -62,10 +63,14 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
                 variables["batch_stats"] = state.batch_stats
             out, mut = model.apply(
                 variables, x, train=True, rngs={"dropout": drop_rng},
-                mutable=["batch_stats"],
+                mutable=["batch_stats", "losses"],
             )
             loss = cross_entropy_loss(out, labels)
+            # per-layer penalties sown by L1/L2-wrapped layers
+            # (utils/regularization.py) — layer-scoped, reference interface
+            loss = loss + sown_losses_total(mut)
             if l1_decay > 0:
+                # opt-in *global* L1 over every parameter (beyond-reference)
                 loss = loss + l1_penalty(params, l1_decay)
             return loss, mut.get("batch_stats", state.batch_stats)
 

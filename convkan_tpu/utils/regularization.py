@@ -18,8 +18,75 @@ from __future__ import annotations
 
 from typing import Any
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+class L1(nn.Module):
+    """Per-layer L1 wrapper — working equivalent of the reference's
+    ``L1(module, weight_decay)`` (utils/regularization.py:57-113).
+
+    Wraps one layer and sows ``weight_decay * sum(|p|)`` over *that
+    layer's* parameters into the ``losses`` collection; the training loop
+    adds every sown value to the loss (train/loop.py), so `l1_decay` on one
+    factory-built layer penalizes only that layer.  (The reference's hook
+    writes grads only when they are already zero/None — effectively inert;
+    we implement the interface's evident intent and document the deviation
+    in PARITY.md.)
+
+    Like the reference wrapper, this nests the wrapped module's parameters
+    one level deeper ('layer/...' here, 'module.' in the torch state
+    dict)."""
+
+    layer: nn.Module
+    weight_decay: float
+
+    @nn.compact
+    def __call__(self, x, *args, **kwargs):
+        y = self.layer(x, *args, **kwargs)
+        if self.weight_decay and self.weight_decay > 0:
+            # read from the bound child: if the wrapped layer was
+            # constructed inside an enclosing @compact, flax adopts it into
+            # the *enclosing* scope, so self.variables would be empty here
+            params = self.layer.variables.get("params", {})
+            pen = self.weight_decay * sum(
+                jnp.sum(jnp.abs(p))
+                for p in jax.tree_util.tree_leaves(params))
+            self.sow("losses", "l1_penalty", pen)
+        return y
+
+
+class L2(nn.Module):
+    """Per-layer L2 wrapper (utils/regularization.py:116-159) — same
+    mechanics as :class:`L1` with a squared-norm penalty."""
+
+    layer: nn.Module
+    weight_decay: float
+
+    @nn.compact
+    def __call__(self, x, *args, **kwargs):
+        y = self.layer(x, *args, **kwargs)
+        if self.weight_decay and self.weight_decay > 0:
+            # read from the bound child: if the wrapped layer was
+            # constructed inside an enclosing @compact, flax adopts it into
+            # the *enclosing* scope, so self.variables would be empty here
+            params = self.layer.variables.get("params", {})
+            pen = self.weight_decay * sum(
+                jnp.sum(jnp.square(p))
+                for p in jax.tree_util.tree_leaves(params))
+            self.sow("losses", "l2_penalty", pen)
+        return y
+
+
+def sown_losses_total(mutated_variables) -> Any:
+    """Sum every penalty sown into the 'losses' collection (0.0 if none)."""
+    tree = mutated_variables.get("losses", {}) if isinstance(
+        mutated_variables, dict) else {}
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not leaves:
+        return 0.0
+    return sum(jnp.sum(v) for v in leaves)
 
 
 def l1_penalty(params, weight_decay: float, reference_semantics: bool = False):
@@ -38,9 +105,6 @@ def l2_penalty(params, weight_decay: float, reference_semantics: bool = False):
         jnp.sum(jnp.square(p)) for p in jax.tree_util.tree_leaves(params))
 
 
-# Back-compat aliases for the reference's wrapper names
-L1 = l1_penalty
-L2 = l2_penalty
 
 
 def noise_injection(rng, x, p: float = 0.0, alpha: float = 0.05,

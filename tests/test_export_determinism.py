@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from convkan_tpu.factory.mlp_factory import MLP_KAN_FACTORY
 from convkan_tpu.models import vggkan
@@ -11,6 +12,7 @@ from convkan_tpu.train.loop import train_model_generic
 from convkan_tpu.utils.export import export_forward, load_forward
 
 
+@pytest.mark.slow
 def test_stablehlo_export_roundtrip():
     model = vggkan(3, 10, arch="VGG16_kansmall", kan_conv="ChebyKAN",
                    classifier_type="Linear", width_scale=0.25)

@@ -55,6 +55,7 @@ def _band_task(n, seed, hw=32):
 # torch reference raises there; we normalize to exact zeros).
 
 
+@pytest.mark.slow
 def test_kan_vgg_learns_band_task():
     xtr, ytr = _band_task(512, 0)
     xte, yte = _band_task(128, 1)

@@ -4,6 +4,7 @@ end-to-end — the strongest parity test and the user migration path."""
 
 import jax
 import numpy as np
+import pytest
 
 from convkan_tpu.models import vggkan
 from convkan_tpu.utils.torch_compat import convert_vggkan
@@ -29,6 +30,7 @@ def _run(name, **model_kw):
     assert_close(np.asarray(y), y_ref, tol=1e-5, name=name)
 
 
+@pytest.mark.slow
 def test_vgg_kan_linear_migration():
     _run("model_vgg_kan_linear", kan_conv="KAN", classifier_type="Linear")
 

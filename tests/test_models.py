@@ -23,6 +23,7 @@ def _run(model, hw=32, c=3):
     return out
 
 
+@pytest.mark.slow
 def test_vgg_kan_head():
     m = vggkan(3, 10, arch="VGG16_kansmall", kan_conv="FastKAN",
                classifier_type="HiddenKAN", kan_classifier="ChebyKAN",
@@ -31,24 +32,28 @@ def test_vgg_kan_head():
     _run(m)
 
 
+@pytest.mark.slow
 def test_alexnet_small():
     m = alexnet_kan(10, 3, arch="small", kan_conv="GRAMKAN",
                     classifier_type="KAN", kan_classifier="FastKAN")
     _run(m, hw=67)
 
 
+@pytest.mark.slow
 def test_mobilenet_v1():
     m = mobilenet_v1_kan(10, input_channels=3, width_mult=0.25,
                          kan_conv="ChebyKAN", classifier_type="KAN")
     _run(m)
 
 
+@pytest.mark.slow
 def test_mobilenet_v1_replace_depthwise():
     m = mobilenet_v1_kan(10, input_channels=3, width_mult=0.25,
                          replace_depthwise=True)
     _run(m)
 
 
+@pytest.mark.slow
 def test_mobilenet_v2():
     m = mobilenet_v2_kan(10, input_channels=3, arch="kan_small",
                          width_mult=0.5, kan_conv="FastKAN",
@@ -56,6 +61,7 @@ def test_mobilenet_v2():
     _run(m)
 
 
+@pytest.mark.slow
 def test_mobilenet_v3():
     m = mobilenet_v3_kan("small", 10, input_channels=3, width_mult=0.5,
                          kan_conv="FastKAN", classifier_type="KAN")
@@ -63,12 +69,14 @@ def test_mobilenet_v3():
     _run(m)
 
 
+@pytest.mark.slow
 def test_efficientnet_v1_small():
     m = efficientnet_kan_small(arch="b0_small", num_classes=10,
                                kan_conv="FastKAN", classifier_type="KAN")
     _run(m)
 
 
+@pytest.mark.slow
 def test_efficientnetv2_tiny():
     m = efficientnetv2_kan_small(arch="kan_tiny", num_classes=10,
                                  kan_conv="FastKAN",
@@ -77,6 +85,7 @@ def test_efficientnetv2_tiny():
     _run(m)
 
 
+@pytest.mark.slow
 def test_vgg_all_classifier_types():
     for ct in ["VGGKAN", "VGG", "Identity"]:
         m = vggkan(3, 10, arch="VGG16_kansmall", kan_conv="FastKAN",
@@ -91,6 +100,7 @@ def test_vgg_all_classifier_types():
             assert out.shape == (1, 10)
 
 
+@pytest.mark.slow
 def test_std_conv_paths():
     for m in [
         vggkan(3, 10, arch="VGG16_kansmall", conv_type="conv",

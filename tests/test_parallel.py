@@ -58,6 +58,7 @@ def test_multislice_mesh_single_slice_fallback():
     assert batch_axes(mesh) == ("dcn", "data")
 
 
+@pytest.mark.slow
 def test_dp_tp_train_step():
     """Full train step over a dp x tp mesh via __graft_entry__'s path."""
     import __graft_entry__ as g

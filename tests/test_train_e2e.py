@@ -27,6 +27,7 @@ def test_fastkan_mlp_mnist_synthetic(tmp_path):
     assert history["train_loss"][1] <= history["train_loss"][0] * 1.5
 
 
+@pytest.mark.slow
 def test_vgg_cifar_synthetic_resume(tmp_path):
     """Config 3 shape (miniaturized): KAN-VGG with ChebyKAN convs on
     synthetic CIFAR-10, including checkpoint resume."""
@@ -45,6 +46,7 @@ def test_vgg_cifar_synthetic_resume(tmp_path):
     assert len(history2["train_loss"]) == 2
 
 
+@pytest.mark.slow
 def test_data_parallel_mesh():
     """Data-parallel training step over an 8-device mesh: the compiled step
     must accept a batch sharded over the 'data' axis."""

@@ -265,7 +265,10 @@ def main(argv=None):
         model, train_ds, test_ds, args.dataset, num_classes,
         batch_size=args.batch_size, learning_rate=args.lr,
         weight_decay=args.weight_decay, gamma=args.gamma, epochs=args.epoch,
-        seed=args.seed, l1_decay=args.l1_decay, mesh=mesh,
+        # NOTE: --l1_decay reaches the loss through the per-layer L1
+        # wrappers the factories build (utils/regularization.L1), not as a
+        # global penalty — layer-scoped, matching the reference interface.
+        seed=args.seed, mesh=mesh,
         path=model_save_path, resume=args.resume, model_name=model_name,
         patience=args.patience)
 
