@@ -55,12 +55,21 @@ def _pick_tile(h: int, max_tile: int = 16) -> Optional[int]:
     return None
 
 
+def _ru(v, m):
+    return (v + m - 1) // m * m
+
+
 def _vmem_bytes(hp, wp_, c, k, kh, kw, o):
-    basis = hp * wp_ * c * k * 4
-    xbuf = 2 * hp * wp_ * c * 4
-    w = kh * kw * (c * k * o + c * o) * 4
-    acc = (hp - kh + 1) * (wp_ - kw + 1) * o * 4
-    return basis + xbuf + w + acc
+    """Mosaic-tiling-aware working-set estimate: sublanes (second-minor)
+    round to 8, lanes (minor) to 128.  A 2x factor covers the compiler's
+    operand copies and relayout temps — the scoped-vmem stack limit is
+    16 MiB and an underestimate is a compile-time OOM (seen at
+    C=128, K=8, O=128, 28x28: est 9.8M, actual 19.05M)."""
+    basis = hp * _ru(wp_, 8) * _ru(c * k, 128) * 4
+    xbuf = 2 * hp * _ru(wp_, 8) * _ru(c, 128) * 4
+    w = kh * kw * (_ru(c * k, 8) + _ru(c, 8)) * _ru(o, 128) * 4
+    acc = (hp - kh + 1) * _ru(wp_ - kw + 1, 8) * _ru(o, 128) * 4
+    return 2 * (basis + xbuf + w + acc)
 
 
 def fused_kan_conv2d(
