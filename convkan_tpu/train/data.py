@@ -365,3 +365,80 @@ def epoch_batches(ds: ArrayDataset, batch_size: int, seed: int,
     for s in range(0, end, batch_size):
         sel = idx[s: s + batch_size]
         yield ds.images[sel], ds.labels[sel]
+
+
+def put_batch(arrays, sharding=None):
+    """Ship one host batch to device(s), asynchronously.
+
+    * sharding=None: plain async `jax.device_put` (single device).
+    * NamedSharding + one process: `device_put` with the sharding — the
+      jitted step then consumes it with zero re-layout.
+    * NamedSharding + multi-process (multi-host DP, SURVEY §2.5): each
+      process provides only its local shard of the global batch via
+      `jax.make_array_from_process_local_data`; `arrays` must already be
+      the process-local slice (see `local_batch_slice`).
+    """
+    if sharding is None:
+        return tuple(jax.device_put(a) for a in arrays)
+    if jax.process_count() == 1:
+        return tuple(jax.device_put(a, sharding) for a in arrays)
+    return tuple(
+        jax.make_array_from_process_local_data(sharding, a) for a in arrays)
+
+
+def local_batch_slice(n: int):
+    """(start, stop) rows of a global batch of `n` owned by this process —
+    the per-host sharding hook for multi-host data parallelism."""
+    pc, pi = jax.process_count(), jax.process_index()
+    per = n // pc
+    return pi * per, (pi + 1) * per if pi != pc - 1 else n
+
+
+def prefetch_batches(it, size: int = 2, sharding=None, host_thread=True):
+    """Double-buffered device prefetch (depth `size`).
+
+    Overlaps (a) host batch assembly — the numpy fancy-index gather runs in
+    a daemon thread feeding a bounded queue — and (b) the H2D transfer —
+    `device_put` is async, so up to `size` batches are in flight on the
+    interconnect while the device crunches the current step.  Order is
+    preserved exactly, so training trajectories are bit-identical to the
+    synchronous loop (tests/test_train_e2e.py::test_prefetch_exact).
+
+    The reference's analogue is torch's multi-worker DataLoader
+    (utils/dataloader.py:111-112); here the heavy work (augment/normalize)
+    is already on device, so prefetch only needs to hide gather+transfer.
+    """
+    import queue as _q
+    import threading
+
+    if host_thread:
+        q: _q.Queue = _q.Queue(maxsize=max(size, 1))
+        _END = object()
+
+        def _feed():
+            try:
+                for b in it:
+                    q.put(b)
+            finally:
+                q.put(_END)
+
+        threading.Thread(target=_feed, daemon=True).start()
+
+        def host_iter():
+            while True:
+                b = q.get()
+                if b is _END:
+                    return
+                yield b
+        src = host_iter()
+    else:
+        src = it
+
+    from collections import deque
+    buf: deque = deque()
+    for b in src:
+        buf.append(put_batch(b, sharding))
+        if len(buf) > size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

@@ -31,7 +31,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from . import checkpoint as ckpt_lib
-from .data import ArrayDataset, epoch_batches, normalize_batch, train_batch
+from .data import (ArrayDataset, epoch_batches, local_batch_slice,
+                   normalize_batch, prefetch_batches, train_batch)
 from .metrics import (accuracy_from_cm, cross_entropy_loss, macro_prf1)
 from .state import TrainState, create_train_state, l1_penalty
 from ..utils.regularization import sown_losses_total
@@ -132,8 +133,17 @@ def _pad_batch(x, y, batch_size):
     return x, y, w
 
 
+def _local_rows(batch):
+    """Multi-host DP hook: keep only this process's rows of a global batch
+    (no-op in single-process runs)."""
+    if jax.process_count() == 1:
+        return batch
+    s, e = local_batch_slice(len(batch[0]))
+    return tuple(a[s:e] for a in batch)
+
+
 def evaluate(eval_step, state, ds: ArrayDataset, batch_size: int,
-             num_classes: int):
+             num_classes: int, batch_sharding=None):
     """Full-dataset eval: returns (loss, acc, precision, recall, f1,
     inference_ms_per_image)."""
     # accumulate on device, sync ONCE at the end — per-batch syncs would
@@ -143,8 +153,12 @@ def evaluate(eval_step, state, ds: ArrayDataset, batch_size: int,
     cm = jnp.zeros((num_classes, num_classes), jnp.float32)
     n = len(ds)
     t0 = time.perf_counter()
-    for xb, yb in epoch_batches(ds, batch_size, seed=0, shuffle=False):
-        xb, yb, w = _pad_batch(xb, yb, batch_size)
+
+    def padded():
+        for xb, yb in epoch_batches(ds, batch_size, seed=0, shuffle=False):
+            yield _local_rows(_pad_batch(xb, yb, batch_size))
+
+    for xb, yb, w in prefetch_batches(padded(), sharding=batch_sharding):
         ls, cmb = eval_step(state, xb, yb, w)
         loss_sum = loss_sum + ls
         cm = cm + cmb
@@ -189,18 +203,26 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
     epochs_no_improve = 0
     steps_per_epoch = len(train_ds) // batch_size
 
+    _, batch_sharding = _shardings(mesh)
+
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
         losses = []
-        for xb, yb in epoch_batches(train_ds, batch_size,
-                                    seed=seed + epoch, shuffle=True,
-                                    drop_last=True):
+
+        def shuffled(ep):
+            for b in epoch_batches(train_ds, batch_size, seed=seed + ep,
+                                   shuffle=True, drop_last=True):
+                yield _local_rows(b)
+
+        for xb, yb in prefetch_batches(shuffled(epoch),
+                                       sharding=batch_sharding):
             state, loss = train_step(state, rng, xb, yb)
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
         test_loss, acc, prec, rec, f1, inf_ms = evaluate(
-            eval_step, state, test_ds, batch_size, num_classes)
+            eval_step, state, test_ds, batch_size, num_classes,
+            batch_sharding=batch_sharding)
         # LR used this epoch (staircase exponential: lr * gamma^epoch,
         # generic_train.py:25 parity)
         lr_now = learning_rate * (gamma ** epoch)
