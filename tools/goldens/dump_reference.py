@@ -274,9 +274,59 @@ def dump_train_steps():
     print(f"wrote {path}  losses={losses}")
 
 
+def dump_rank_coverage():
+    """1D/3D goldens for every non-wavelet family (VERDICT r1 #5) plus
+    groups>1 WavKAN 1D/3D.  Oracle: the reference's per-family
+    `<Basis>KANConv{1,3}DLayer` classes (e.g.
+    layers/legendre_kan_layers.py:166-193)."""
+    import layers as L
+
+    prefixes = {
+        "fastkan": "FastKAN", "cheby": "ChebyKAN", "legendre": "LegendreKAN",
+        "gram": "GRAMKAN", "jacobi": "JacobiKAN", "bernstein": "BersnsteinKAN",
+        "bessel": "BesselKAN", "fibonacci": "FibonacciKAN",
+        "fourier": "FourierKAN", "gegenbauer": "GegenbauerKAN",
+        "hermite": "HermiteKAN", "laguerre": "LaguerreKAN",
+        "lucas": "LucasKAN", "relukan": "ReLUKAN", "taylor": "TaylorKAN",
+    }
+    fam_kw = {
+        "fastkan": dict(grid_size=8),
+        "fourier": dict(grid_size=3),
+        "gegenbauer": dict(degree=3, alpha_param=0.5),
+        "laguerre": dict(degree=3, alpha=1.0),
+        "relukan": dict(g=5, k=3),
+    }
+    for fam, pre in prefixes.items():
+        kw = fam_kw.get(fam, dict(degree=3))
+        c1 = getattr(L, f"{pre}Conv1DLayer")
+        c3 = getattr(L, f"{pre}Conv3DLayer")
+        torch.manual_seed(42)
+        l1 = c1(6, 8, 3, padding=1, **kw)
+        torch.manual_seed(7)
+        _save(f"conv1d_{fam}_g1", l1, torch.randn(2, 6, 16))
+        torch.manual_seed(42)
+        l3 = c3(4, 6, 3, padding=1, **kw)
+        torch.manual_seed(7)
+        _save(f"conv3d_{fam}_g1", l3, torch.randn(2, 4, 5, 6, 6))
+
+    from layers import WavKANConv1DLayer, WavKANConv3DLayer
+    torch.manual_seed(42)
+    w1 = WavKANConv1DLayer(6, 8, 3, padding=1, groups=2, wav_version="fast")
+    torch.manual_seed(7)
+    _save("conv1d_wavkan_fast_g2", w1, torch.randn(2, 6, 16))
+    torch.manual_seed(42)
+    w3 = WavKANConv3DLayer(4, 6, 3, padding=1, groups=2, wav_version="fast")
+    torch.manual_seed(7)
+    _save("conv3d_wavkan_fast_g2", w3, torch.randn(2, 4, 5, 6, 6))
+
+
 if __name__ == "__main__":
-    dump_conv_layers()
-    dump_mlp_layers()
-    dump_models()
-    dump_train_steps()
+    if "--rank-coverage" in sys.argv:
+        dump_rank_coverage()
+    else:
+        dump_conv_layers()
+        dump_mlp_layers()
+        dump_models()
+        dump_train_steps()
+        dump_rank_coverage()
     print("done")
