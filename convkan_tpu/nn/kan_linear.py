@@ -54,6 +54,13 @@ class KANLinear(nn.Module):
 
     base = GELU(x) @ W_base; spline = flat_bases @ W_spline;
     out = PReLU(LayerNorm(base + spline)).
+
+    `p_deactivate` > 0 enables Segment Deactivation during training — the
+    working equivalent of the reference's (dead) SegmentDeactivation
+    wrapper (utils/regularization.py:205-308): each (out, in) spline edge
+    is independently replaced, with probability p, by the linear chord
+    through the spline's values at the grid endpoints
+    (grid[order], grid[-order-1]).  Uses the 'dropout' rng stream.
     """
 
     input_dim: int
@@ -63,6 +70,7 @@ class KANLinear(nn.Module):
     base_activation: Any = "__default__"
     grid_range: Tuple[float, float] = (-1.0, 1.0)
     grid_override: Any = None
+    p_deactivate: float = 0.0
     param_dtype: Any = jnp.float32
 
     @nn.compact
@@ -85,11 +93,43 @@ class KANLinear(nn.Module):
             grid = make_bspline_grid(self.grid_size, self.spline_order,
                                      self.grid_range)
         bases = bspline_basis(x, grid, self.spline_order)  # (B, in, K)
-        spline = bases.reshape(x.shape[0], -1) @ spline_w
+        if train and self.p_deactivate > 0:
+            spline = self._segment_deactivated_spline(x, bases, grid,
+                                                      spline_w)
+        else:
+            spline = bases.reshape(x.shape[0], -1) @ spline_w
         y = base + spline
         y = LayerNorm(num_features=self.output_dim)(y)
         alpha = self.param("prelu", init_lib.constant(0.25), (), self.param_dtype)
         return jnp.where(y >= 0, y, alpha * y)
+
+    def _segment_deactivated_spline(self, x, bases, grid, spline_w):
+        """Spline output with per-edge Segment Deactivation
+        (utils/regularization.py:253-305, vectorized): masked (out, in)
+        edges contribute the linear chord a*x+b through the spline's
+        values at the grid endpoints instead of the spline itself."""
+        from ..utils.regularization import segment_deactivation_mask
+
+        w = spline_w.reshape(self.input_dim, -1, self.output_dim)
+        contrib = jnp.einsum("bik,iko->bio", bases, w)      # (B, in, out)
+        grid = jnp.asarray(grid)
+        xs = grid[self.spline_order]
+        xe = grid[-self.spline_order - 1]
+        ends = jnp.broadcast_to(
+            jnp.stack([xs, xe]).astype(x.dtype)[:, None],
+            (2, self.input_dim))
+        eb = bspline_basis(ends, grid, self.spline_order)   # (2, in, K)
+        y_ends = jnp.einsum("eik,iko->eio", eb, w)
+        dx = xe - xs
+        a = jnp.where(jnp.abs(dx) < 1e-8, 0.0,
+                      (y_ends[1] - y_ends[0]) / dx)         # (in, out)
+        b = y_ends[0] - a * xs
+        linear = a[None] * x[..., None] + b[None]           # (B, in, out)
+        mask = segment_deactivation_mask(
+            self.make_rng("dropout"), self.output_dim, self.input_dim,
+            self.p_deactivate)                              # (out, in)
+        sel = jnp.where(mask.T[None], linear, contrib)
+        return jnp.sum(sel, axis=1)
 
 
 class FastKANLinear(nn.Module):

@@ -27,7 +27,8 @@ def _build_layer(family: str, in_f: int, out_f: int, cfg: Mapping[str, Any]):
             input_dim=in_f, output_dim=out_f,
             grid_size=c.get("grid_size", 5), spline_order=c.get("spline_order", 3),
             base_activation=c.get("base_activation", "__default__"),
-            grid_range=tuple(c.get("grid_range", (-1.0, 1.0))))
+            grid_range=tuple(c.get("grid_range", (-1.0, 1.0))),
+            p_deactivate=c.get("p_deactivate", 0.0))
     if family == "FastKAN":
         gr = c.get("grid_range", (-2.0, 2.0))
         return kl.FastKANLinear(

@@ -385,3 +385,88 @@ def test_train_step_consumes_sown_l1():
         losses[decay] = float(loss)
     # same weights (same init seed), so the loss difference IS the penalty
     assert losses[0.5] > losses[0.0] + 1e-3
+
+
+def test_segment_deactivation_chord():
+    """With p_deactivate=1 every spline edge collapses to its linear
+    chord: recompute base + chords by hand from the layer's own params and
+    match the full output (utils/regularization.py:253-305 semantics)."""
+    from convkan_tpu.basis.bspline import bspline_basis, make_bspline_grid
+    from convkan_tpu.nn.kan_linear import KANLinear
+    from convkan_tpu.utils.norms import LayerNorm as _LN  # noqa: F401
+
+    din, dout, order, gs = 6, 4, 3, 5
+    layer = KANLinear(input_dim=din, output_dim=dout, grid_size=gs,
+                      spline_order=order, p_deactivate=1.0,
+                      param_dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, din), jnp.float64)
+    v = layer.init({"params": jax.random.PRNGKey(1),
+                    "dropout": jax.random.PRNGKey(2)}, x, train=True)
+    y = layer.apply(v, x, train=True,
+                    rngs={"dropout": jax.random.PRNGKey(3)})
+
+    p = v["params"]
+    grid = np.asarray(make_bspline_grid(gs, order, (-1.0, 1.0)))
+    xs, xe = grid[order], grid[-order - 1]
+    w = p["spline_w"].reshape(din, -1, dout)
+    ends = jnp.broadcast_to(jnp.array([[xs], [xe]], jnp.float64), (2, din))
+    eb = bspline_basis(ends, grid, order)
+    y_ends = jnp.einsum("eik,iko->eio", eb, w)
+    a = (y_ends[1] - y_ends[0]) / (xe - xs)
+    b = y_ends[0] - a * xs
+    spline = jnp.sum(a[None] * x[..., None] + b[None], axis=1)
+    base = jax.nn.gelu(x, approximate=False) @ p["base_w"]
+    pre = base + spline
+    ln = p["LayerNorm_0"]
+    mu = pre.mean(-1, keepdims=True)
+    var = pre.var(-1, keepdims=True)
+    yn = (pre - mu) / jnp.sqrt(var + 1e-5) * ln["weight"] + ln["bias"]
+    expect = jnp.where(yn >= 0, yn, p["prelu"] * yn)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(expect),
+                               atol=1e-10)
+
+
+def test_segment_deactivation_trains():
+    """p_deactivate is reachable from the factory/training path and
+    gradients stay finite; eval-mode output is unaffected by the flag."""
+    from convkan_tpu.factory.mlp_factory import MLP_KAN_FACTORY
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 12), jnp.float32)
+    m_on = MLP_KAN_FACTORY["KAN"]([12, 8, 4], p_deactivate=0.5)
+    m_off = MLP_KAN_FACTORY["KAN"]([12, 8, 4])
+    v = m_off.init({"params": jax.random.PRNGKey(1),
+                    "dropout": jax.random.PRNGKey(2)}, x, train=True)
+
+    def loss(params, mod):
+        out = mod.apply({"params": params}, x, train=True,
+                        rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(v["params"], m_on)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # train-mode outputs differ (some edges chord-replaced) ...
+    y_on = m_on.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)})
+    y_off = m_off.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(3)})
+    assert float(jnp.max(jnp.abs(y_on - y_off))) > 1e-6
+    # ... eval-mode outputs are identical (deactivation is train-only)
+    np.testing.assert_allclose(
+        np.asarray(m_on.apply(v, x, train=False)),
+        np.asarray(m_off.apply(v, x, train=False)), atol=0)
+
+
+def test_smoothness_penalty_gradient_flow():
+    """smoothness_penalty is differentiable and actually reaches
+    spline_w (utils/regularization.py:163-203 working equivalent)."""
+    from convkan_tpu.utils.regularization import smoothness_penalty
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (6 * 8, 4), jnp.float32)
+
+    def pen(w):
+        return smoothness_penalty(w, input_dim=6, num_basis=8,
+                                  lambda_smooth=0.1)
+
+    val, g = jax.value_and_grad(pen)(w)
+    assert np.isfinite(float(val))
+    assert float(jnp.max(jnp.abs(g))) > 0
+    assert np.isfinite(np.asarray(g)).all()
