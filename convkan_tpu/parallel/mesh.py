@@ -30,26 +30,38 @@ def make_mesh(data: Optional[int] = None, model: int = 1,
 
 
 def make_multislice_mesh(data_per_slice: Optional[int] = None,
-                         model: int = 1, n_slices: Optional[int] = None
-                         ) -> Mesh:
+                         model: int = 1, n_slices: Optional[int] = None,
+                         devices: Optional[Sequence] = None) -> Mesh:
     """Multi-slice mesh: a leading 'dcn' axis across slices (gradient
     all-reduce rides DCN), 'data'/'model' within a slice (ICI).
 
     Requires jax.distributed.initialize() on multi-host deployments; uses
     mesh_utils' hybrid mesh so ICI-contiguous devices stay within the inner
     axes.  Single-slice environments fall back to make_mesh.
+
+    `devices`: explicit flat device list treated as `n_slices` contiguous
+    pseudo-slices — the test/emulation hook for environments whose devices
+    carry no slice_index (virtual CPU meshes); production multislice runs
+    leave it None and take the hybrid-mesh path.  Both paths share the
+    (dcn*data, model) -> (dcn, data, model) reshape.
     """
     import jax.experimental.mesh_utils as mesh_utils
 
-    n_slices = n_slices or getattr(jax.devices()[0], "num_slices", 1)
-    if n_slices <= 1:
-        m = make_mesh(data=data_per_slice, model=model)
-        arr = m.devices.reshape((1,) + m.devices.shape)
-        return Mesh(arr, ("dcn",) + m.axis_names)
-    per_slice = len(jax.devices()) // n_slices
-    data_per_slice = data_per_slice or per_slice // model
-    dev = mesh_utils.create_hybrid_device_mesh(
-        (data_per_slice, model), (n_slices, 1))
+    if devices is not None and (n_slices or 1) > 1:
+        per_slice = len(devices) // n_slices
+        data_per_slice = data_per_slice or per_slice // model
+        dev = np.asarray(list(devices)).reshape(
+            n_slices * data_per_slice, model)
+    else:
+        n_slices = n_slices or getattr(jax.devices()[0], "num_slices", 1)
+        if n_slices <= 1:
+            m = make_mesh(data=data_per_slice, model=model, devices=devices)
+            arr = m.devices.reshape((1,) + m.devices.shape)
+            return Mesh(arr, ("dcn",) + m.axis_names)
+        per_slice = len(jax.devices()) // n_slices
+        data_per_slice = data_per_slice or per_slice // model
+        dev = mesh_utils.create_hybrid_device_mesh(
+            (data_per_slice, model), (n_slices, 1))
     # hybrid mesh returns (dcn*data, model); reshape to (dcn, data, model)
     arr = dev.reshape(n_slices, data_per_slice, model)
     return Mesh(arr, ("dcn", "data", "model"))

@@ -95,7 +95,7 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
 
 
 def make_eval_step(model, dataset: str, num_classes: int, mesh=None,
-                   imagenet: bool = False):
+                   imagenet: bool = False, state_shardings=None):
     def step(state: TrainState, x_uint8, labels, weights):
         if imagenet:
             from .data import imagenet_batch
@@ -118,7 +118,10 @@ def make_eval_step(model, dataset: str, num_classes: int, mesh=None,
     repl, batch = _shardings(mesh)
     if mesh is None:
         return jax.jit(step)
-    return jax.jit(step, in_shardings=(repl, batch, batch, batch),
+    # tensor-parallel eval: keep params sharded over 'model' (pass the same
+    # state_shardings tree as make_train_step) instead of re-replicating
+    st_sh = state_shardings if state_shardings is not None else repl
+    return jax.jit(step, in_shardings=(st_sh, batch, batch, batch),
                    out_shardings=(repl, repl))
 
 
@@ -185,6 +188,9 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                                  imagenet=getattr(train_ds, "imagenet", False))
     eval_step = make_eval_step(model, dataset, num_classes, mesh=mesh,
                                imagenet=getattr(test_ds, "imagenet", False))
+    # NOTE: train_and_test_models runs dp-style (replicated params); TP
+    # callers build their own steps with state_shardings (see
+    # __graft_entry__.dryrun_multichip / tests/test_parallel.py).
 
     history = {k: [] for k in ["train_loss", "test_loss", "accuracy",
                                "precision", "recall", "f1", "lr",

@@ -58,6 +58,48 @@ def test_multislice_mesh_single_slice_fallback():
     assert batch_axes(mesh) == ("dcn", "data")
 
 
+def test_multislice_mesh_emulated_two_slices():
+    """The (dcn*data, model) -> (dcn, data, model) hybrid reshape, via the
+    explicit-devices emulation hook, and a jitted psum over 'dcn'+'data'."""
+    from convkan_tpu.parallel.mesh import batch_axes, make_multislice_mesh
+
+    mesh = make_multislice_mesh(model=2, n_slices=2, devices=jax.devices())
+    assert mesh.axis_names == ("dcn", "data", "model")
+    assert mesh.devices.shape == (2, 2, 2)
+    assert batch_axes(mesh) == ("dcn", "data")
+    x = jnp.arange(8.0)
+    xs = jax.device_put(x, NamedSharding(mesh, P(("dcn", "data"))))
+    total = jax.jit(jnp.sum)(xs)
+    assert float(total) == float(jnp.sum(x))
+
+
+def test_tensor_parallel_eval_step():
+    """Eval under a model-axis>1 mesh with TP-sharded state (VERDICT r1
+    #8): loss/confusion-matrix match the unsharded single-device eval."""
+    from convkan_tpu.factory.mlp_factory import MLP_KAN_FACTORY
+    from convkan_tpu.parallel.sharding import state_shardings
+    from convkan_tpu.train.loop import make_eval_step
+    from convkan_tpu.train.state import create_train_state
+
+    mesh = make_mesh(data=2, model=4)
+    model = MLP_KAN_FACTORY["ChebyKAN"]([784, 16, 8])
+    x0 = jnp.zeros((8, 28, 28, 1), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                               steps_per_epoch=4)
+    xb = np.random.RandomState(0).randint(0, 256, (8, 28, 28, 1), np.uint8)
+    yb = np.random.RandomState(1).randint(0, 8, (8,), np.int32)
+    w = np.ones((8,), np.float32)
+
+    ref_loss, ref_cm = make_eval_step(model, "MNIST", 8)(state, xb, yb, w)
+
+    st_sh = state_shardings(state, mesh)
+    state_tp = jax.device_put(state, st_sh)
+    tp_loss, tp_cm = make_eval_step(model, "MNIST", 8, mesh=mesh,
+                                    state_shardings=st_sh)(state_tp, xb, yb, w)
+    np.testing.assert_allclose(float(tp_loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(tp_cm), np.asarray(ref_cm))
+
+
 @pytest.mark.slow
 def test_dp_tp_train_step():
     """Full train step over a dp x tp mesh via __graft_entry__'s path."""
