@@ -186,6 +186,13 @@ class KanConvND(nn.Module):
     # (force; tests use pallas_interpret on CPU)
     use_pallas: Any = False
     pallas_interpret: bool = False
+    # spatial sharding: set a Mesh (+ axis name) to run both convs with the
+    # batch-height plane sharded over that axis via halo exchange
+    # (parallel/halo.py) — stride-1/'same'/groups-1 2D configs only; other
+    # configs fall back to the plain conv.  The basis expansion is
+    # pointwise, so XLA SPMD keeps it local to each H-shard.
+    spatial_mesh: Any = None
+    spatial_axis: str = "data"
     param_dtype: Any = jnp.float32
 
     @property
@@ -423,7 +430,7 @@ class KanConvND(nn.Module):
         base_out = None
         if spec.has_base:
             base_in = act(x) if spec.base_input == "act" else x
-            base_out = conv_nd(base_in, base_w, **conv_kwargs)
+            base_out = self._conv(base_in, base_w, conv_kwargs)
 
         # ---------------- basis path
         t = x
@@ -469,10 +476,43 @@ class KanConvND(nn.Module):
             basis = flat.reshape(basis.shape)
 
         basis_flat = self._flatten_basis(basis)
-        spline_out = conv_nd(basis_flat, poly_w, **conv_kwargs)
+        spline_out = self._conv(basis_flat, poly_w, conv_kwargs)
 
         y = spline_out if base_out is None else base_out + spline_out
         return self._post_combine(y, act, train)
+
+    def _halo_eligible(self, w, kw) -> bool:
+        def _one(v):
+            return v == 1 or (isinstance(v, (tuple, list))
+                              and all(s == 1 for s in v))
+
+        if self.spatial_mesh is None or kw["ndim"] != 2:
+            return False
+        if not (_one(kw["stride"]) and _one(kw["dilation"])):
+            return False
+        if kw["groups"] != 1:
+            return False
+        kh, kw_ = w.shape[0], w.shape[1]
+        pad = kw["padding"]
+        if isinstance(pad, (tuple, list)):
+            if len(set(pad)) != 1:
+                return False
+            pad = pad[0]
+        # k=1 needs no halo (GSPMD handles pointwise convs on sharded H)
+        return kh == kw_ and kh >= 3 and kh % 2 == 1 and pad == kh // 2
+
+    def _conv(self, x, w, conv_kwargs):
+        """Plain conv, or halo-exchange conv with H sharded over
+        `spatial_axis` when spatially sharded and eligible."""
+        if self._halo_eligible(w, conv_kwargs):
+            from ..parallel.halo import halo_conv2d
+
+            pad = conv_kwargs["padding"]
+            if isinstance(pad, (tuple, list)):
+                pad = pad[0]
+            return halo_conv2d(self.spatial_mesh, self.spatial_axis, x, w,
+                               padding=int(pad))
+        return conv_nd(x, w, **conv_kwargs)
 
     def _post_combine(self, y, act, train):
         spec = self.spec

@@ -58,6 +58,35 @@ def test_multislice_mesh_single_slice_fallback():
     assert batch_axes(mesh) == ("dcn", "data")
 
 
+@pytest.mark.parametrize("family", ["kan", "cheby"])
+def test_spatial_shard_kan_conv(family):
+    """KanConvND(spatial_mesh=...) with the H plane sharded over 'data'
+    equals the unsharded layer (VERDICT r1 #10: halo composes with the
+    actual layer zoo, not just a plain conv)."""
+    mesh = make_mesh(data=8)
+    kw = dict(family=family, input_dim=6, output_dim=8, kernel_size=3,
+              ndim=2, padding=1, degree=3, grid_size=5)
+    plain = KanConvND(**kw)
+    sharded = KanConvND(spatial_mesh=mesh, spatial_axis="data", **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 16, 6), jnp.float32)
+    v = plain.init(jax.random.PRNGKey(1), x, train=False)
+    y_ref = plain.apply(v, x, train=False)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "data", None, None)))
+    y_sh = jax.jit(lambda v, x: sharded.apply(v, x, train=False))(v, xs)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_spatial_shard_fallback_stride2():
+    """Ineligible configs (stride 2) silently use the plain conv path."""
+    mesh = make_mesh(data=8)
+    m = KanConvND(family="cheby", input_dim=6, output_dim=8, kernel_size=3,
+                  ndim=2, padding=1, stride=2, degree=3, spatial_mesh=mesh)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 6), jnp.float32)
+    v = m.init(jax.random.PRNGKey(1), x, train=False)
+    assert m.apply(v, x, train=False).shape == (2, 8, 8, 8)
+
+
 def test_multislice_mesh_emulated_two_slices():
     """The (dcn*data, model) -> (dcn, data, model) hybrid reshape, via the
     explicit-devices emulation hook, and a jitted psum over 'dcn'+'data'."""
