@@ -313,6 +313,7 @@ def test_random_resized_crop_flip():
                                atol=1e-5)
 
 
+@pytest.mark.slow
 def test_per_layer_l1_wrapper():
     """l1_decay on one factory-built layer penalizes only that layer
     (VERDICT r1 #6): the sown penalty equals decay * sum|params of the
@@ -362,6 +363,7 @@ def test_per_layer_l1_wrapper():
             assert float(jnp.max(jnp.abs(leaf))) == 0.0, path
 
 
+@pytest.mark.slow
 def test_train_step_consumes_sown_l1():
     """make_train_step adds the sown per-layer penalties to the loss."""
     import flax.linen as nn

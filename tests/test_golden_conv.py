@@ -69,6 +69,7 @@ def test_conv2d_family(family, tag):
     assert_close(y, y_ref, name=f"conv2d_{family}_{tag}")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("family", sorted(FAMILY_KW))
 @pytest.mark.parametrize("rank", [1, 3])
 def test_conv_rank_coverage(rank, family):

@@ -21,6 +21,7 @@ def _grad_stats(loss_fn, params):
     return float(loss), finite, nonzero, len(leaves)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("key", sorted(CONV_KAN_FACTORY))
 def test_conv_family_gradients(key):
     fn = CONV_KAN_FACTORY[key]
