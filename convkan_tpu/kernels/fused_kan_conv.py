@@ -22,18 +22,16 @@ jnp reference path (no residual basis tensor is ever stored).
 Unsupported configs fall back to the jnp/XLA path transparently
 (nn.KanConvND use_pallas='auto').
 
-MEASURED RESULT (v5e, KAN-VGG16_small CIFAR-10 train step, batch 1024,
-interleaved best-of-3 A/B to control for shared-tunnel variance): the
-fused-forward path runs at ~0.7x the XLA path (e.g. 342k vs 488k img/s in
-one pair; absolute numbers vary ~2x run-to-run on the shared device).
-Two optimizations got it from 0.03x to 0.7x: (1) per-tap contractions as
-lax.dot_general over (Ho, Wo, K*C) blocks instead of row-collapsing
-reshapes (the reshapes forced full-tensor relayouts per tap), and
-(2) 'parallel' grid dimension semantics so Mosaic pipelines the per-image
-programs.  The kernel is OPT-IN (use_pallas=True/'auto'; module default
-False): XLA's conv pipeline also fuses the element-wise basis chain and
-remains the fastest path on this hardware; the kernel is the scaffold for
-shapes where XLA's fusion does not apply.
+MEASURED RESULT (round 2, honest scan-chained timing — full per-shape
+table in KERNELS.md): after the unrolled-knot basis fast path
+(basis/bspline.py) removed XLA's fusion weakness, the XLA path wins every
+measured row (kernel at 0.10-0.78x, fwd+bwd, batch 1024).  Round-1's
+"0.7x" interleaved A/B predates that fix and used the broken
+block_until_ready timings (BENCH_NOTES.md retraction).  The kernel stays
+OPT-IN (use_pallas=True/'auto'; module default False) as the scaffold for
+the one regime where VMEM recompute wins on physics — C>=128 at >=56^2
+spatial — which needs spatially-blocked halo tiles neither kernel
+implements yet (KERNELS.md "revisit trigger").
 """
 
 from __future__ import annotations
