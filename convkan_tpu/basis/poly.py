@@ -51,17 +51,11 @@ def legendre_basis_list(x, degree: int):
     return polys
 
 
-def gram_basis(x, degree: int, beta_weights):
-    """Gram polynomials with a *learnable* recurrence coefficient.
-
-    p2 = x*p1 - beta(i-1, i)*p0 with
-    beta(n, m) = ((m+n)(m-n)n^2) / (m^2/(4n^2-1)) * beta_weights[n]
-    (layers/gram_kan_layers.py:150-170).  `beta_weights` has shape
-    (degree+1,).
-    """
+def gram_basis_cols(x, degree: int, beta_weights):
+    """List form of `gram_basis` (same recurrence, same values)."""
     p0 = jnp.ones_like(x)
     if degree == 0:
-        return p0[..., None]
+        return [p0]
     p1 = x
     basis = [p0, p1]
     for i in range(2, degree + 1):
@@ -71,7 +65,18 @@ def gram_basis(x, degree: int, beta_weights):
         p2 = x * p1 - beta * p0
         basis.append(p2)
         p0, p1 = p1, p2
-    return jnp.stack(basis, axis=-1)
+    return basis
+
+
+def gram_basis(x, degree: int, beta_weights):
+    """Gram polynomials with a *learnable* recurrence coefficient.
+
+    p2 = x*p1 - beta(i-1, i)*p0 with
+    beta(n, m) = ((m+n)(m-n)n^2) / (m^2/(4n^2-1)) * beta_weights[n]
+    (layers/gram_kan_layers.py:150-170).  `beta_weights` has shape
+    (degree+1,).
+    """
+    return jnp.stack(gram_basis_cols(x, degree, beta_weights), axis=-1)
 
 
 def jacobi_basis_list(x, degree: int, a: float = 1.0, b: float = 1.0):

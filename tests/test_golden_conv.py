@@ -192,3 +192,21 @@ def test_wavkan_conv_versions(ver):
     variables = graft(variables, converted, norm_scope="BatchNorm_0")
     y = nhwc_to_nchw(module.apply(variables, xh, train=False))
     assert_close(y, y_ref, name=f"wavkan_{ver}")
+
+
+@pytest.mark.parametrize("family", sorted(FAMILY_KW))
+def test_degree_major_fast_path_matches_stacked(family, monkeypatch):
+    """The groups==1 degree-major concat path (weight rows permuted) equals
+    the stacked channel-major fallback bit-for-bit at f64."""
+    kw = dict(family=family, input_dim=6, output_dim=8, kernel_size=3,
+              ndim=2, padding=1, param_dtype=jnp.float64,
+              **FAMILY_KW[family])
+    m = KanConvND(**kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6), jnp.float64)
+    v = m.init(jax.random.PRNGKey(1), x, train=False)
+    y_fast = m.apply(v, x, train=False)
+    monkeypatch.setattr(KanConvND, "_expand_cols",
+                        lambda self, xx, beta=None: None)
+    y_stacked = m.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_stacked),
+                               atol=1e-12, rtol=1e-12)
