@@ -495,11 +495,11 @@ class KanConvND(nn.Module):
             y = fused
             return self._post_combine(y, act, train)
 
-        # ---------------- base path
-        base_out = None
+        # ---------------- base path (input only — the conv itself happens
+        # either fused into the spline conv (fast path) or separately below)
+        base_in = None
         if spec.has_base:
             base_in = act(x) if spec.base_input == "act" else x
-            base_out = self._conv(base_in, base_w, conv_kwargs)
 
         # ---------------- basis path
         t = x
@@ -544,9 +544,19 @@ class KanConvND(nn.Module):
                 pw = poly_w.reshape(kshape + (C, K_, self.output_dim))
                 pw = jnp.swapaxes(pw, -3, -2).reshape(
                     kshape + (K_ * C, self.output_dim))
-            spline_out = self._conv(flat_dm, pw, conv_kwargs)
-            y = spline_out if base_out is None else base_out + spline_out
+            if base_in is not None:
+                # fold the base path into the SAME contraction: one conv
+                # over rows [K*C basis | C base] instead of two
+                # lane-starved convs (the base conv's 9*C-deep contraction
+                # is the shallowest pass in the whole net)
+                flat_dm = jnp.concatenate([flat_dm, base_in], axis=-1)
+                pw = jnp.concatenate([pw, base_w], axis=-2)
+            y = self._conv(flat_dm, pw, conv_kwargs)
             return self._post_combine(y, act, train)
+
+        base_out = None
+        if base_in is not None:
+            base_out = self._conv(base_in, base_w, conv_kwargs)
 
         if self.family == "relukan":
             # phases are per in-group channel, shared across groups
