@@ -17,6 +17,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..basis import (
     bernstein_basis,
@@ -86,22 +87,47 @@ class KANLinear(nn.Module):
             "spline_w", init_lib.uniform(-bound, bound),
             (self.input_dim * K, self.output_dim), self.param_dtype)
 
-        base = act(x) @ base_w
         if self.grid_override is not None:
             grid = jnp.asarray(self.grid_override)
         else:
             grid = make_bspline_grid(self.grid_size, self.spline_order,
                                      self.grid_range)
-        bases = bspline_basis(x, grid, self.spline_order)  # (B, in, K)
         if train and self.p_deactivate > 0:
-            spline = self._segment_deactivated_spline(x, bases, grid,
-                                                      spline_w)
+            bases = bspline_basis(x, grid, self.spline_order)  # (B, in, K)
+            y = act(x) @ base_w + self._segment_deactivated_spline(
+                x, bases, grid, spline_w)
         else:
-            spline = bases.reshape(x.shape[0], -1) @ spline_w
-        y = base + spline
+            # degree-major fast path: the channel-major flatten of the
+            # stacked (B, in, K) basis is a lane-interleave relayout (same
+            # fix as KanConvND); concat the K list columns instead and
+            # permute the (tiny) weight rows, folding the base path into
+            # the same matmul.
+            cols = self._bspline_cols(x, grid)
+            if cols is not None:
+                K_ = len(cols)
+                w_dm = spline_w.reshape(self.input_dim, K_, self.output_dim)
+                w_dm = jnp.swapaxes(w_dm, 0, 1).reshape(-1, self.output_dim)
+                lhs = jnp.concatenate(cols + [act(x)], axis=-1)
+                w_all = jnp.concatenate([w_dm, base_w], axis=0)
+                y = lhs @ w_all
+            else:
+                bases = bspline_basis(x, grid, self.spline_order)
+                y = act(x) @ base_w + bases.reshape(x.shape[0], -1) @ spline_w
         y = LayerNorm(num_features=self.output_dim)(y)
         alpha = self.param("prelu", init_lib.constant(0.25), (), self.param_dtype)
         return jnp.where(y >= 0, y, alpha * y)
+
+    def _bspline_cols(self, x, grid):
+        """List form of the basis when the knot vector is static (always,
+        outside exotic tracing); None otherwise."""
+        import numpy as _np
+
+        from ..basis.bspline import bspline_basis_unrolled_list
+        try:
+            knots = tuple(float(v) for v in _np.asarray(grid))
+        except Exception:
+            return None
+        return bspline_basis_unrolled_list(x, knots, self.spline_order)
 
     def _segment_deactivated_spline(self, x, bases, grid, spline_w):
         """Spline output with per-edge Segment Deactivation
@@ -159,12 +185,25 @@ class FastKANLinear(nn.Module):
         else:
             grid = make_rbf_grid(self.grid_min, self.grid_max, self.num_grids)
         denom = (self.grid_max - self.grid_min) / (self.num_grids - 1)
-        basis = rbf_basis(xn, grid, denom)  # (B, in, G)
         spline_w = self.param(
             "spline_w",
             init_lib.trunc_normal(0.0, self.spline_weight_init_scale),
             (self.input_dim * self.num_grids, self.output_dim), self.param_dtype)
-        ret = basis.reshape(x.shape[0], -1) @ spline_w
+        try:
+            centers = [float(v) for v in np.asarray(grid)]
+        except Exception:
+            centers = None
+        if centers is not None:
+            # degree-major fast path: lane-concat RBF columns + permuted
+            # weight rows (avoids the (B, in, G) -> (B, in*G) interleave)
+            cols = [jnp.exp(-jnp.square((xn - c) / denom)) for c in centers]
+            w_dm = spline_w.reshape(self.input_dim, len(cols),
+                                    self.output_dim)
+            w_dm = jnp.swapaxes(w_dm, 0, 1).reshape(-1, self.output_dim)
+            ret = jnp.concatenate(cols, axis=-1) @ w_dm
+        else:
+            basis = rbf_basis(xn, grid, denom)  # (B, in, G)
+            ret = basis.reshape(x.shape[0], -1) @ spline_w
         if self.use_base_update:
             # torch nn.Linear default init (kaiming_uniform a=sqrt(5) + bias)
             base_w = self.param(
