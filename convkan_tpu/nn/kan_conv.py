@@ -181,9 +181,9 @@ class KanConvND(nn.Module):
     # f32 linspace rounding differs from numpy's by 1 ulp)
     grid_override: Any = None
     # fused Pallas kernel: False (default — XLA's conv fusion pipeline
-    # measures faster on v5e for these shapes; see kernels/fused_kan_conv.py
-    # header), 'auto' (engage on TPU when the config is supported), or True
-    # (force; tests use pallas_interpret on CPU)
+    # measures faster on v5e for every supported shape; per-shape A/B in
+    # KERNELS.md), 'auto' (the measured-fastest path — currently identical
+    # to False), or True (force the kernels; tests use pallas_interpret)
     use_pallas: Any = False
     pallas_interpret: bool = False
     # spatial sharding: set a Mesh (+ axis name) to run both convs with the
@@ -740,7 +740,11 @@ class KanConvND(nn.Module):
         spec = self.spec
         if not self.use_pallas or self.family not in self._FUSABLE:
             return None
-        if self.use_pallas == "auto" and _jax.default_backend() != "tpu":
+        if self.use_pallas == "auto":
+            # 'auto' means "the measured-fastest path": per the round-2
+            # per-shape A/B (KERNELS.md), that is the XLA path on every
+            # supported config, so 'auto' never engages the kernels today.
+            # use_pallas=True still forces them (tests, future hardware).
             return None
         # pre-basis dropout can't cross the kernel boundary ('input'-site
         # dropout is fine: it applies to x before both paths)
