@@ -238,3 +238,61 @@ def convert_vggkan(sd: Mapping[str, np.ndarray], model, variables):
         if col != "params":
             out[col] = v
     return out
+
+
+def _graft_feature_convs(sd, params, family: str, groups: int,
+                         prefix: str = "features"):
+    """Copy every `<prefix>.{idx}` reference conv into KanConvND_{j},
+    including affine norm params (weight/bias into the auto-named norm
+    child scope)."""
+    feat_idx = sorted({int(k.split(".")[1]) for k in sd
+                       if k.startswith(prefix + ".")})
+    for j, idx in enumerate(feat_idx):
+        sub = {k[len(f"{prefix}.{idx}."):]: v for k, v in sd.items()
+               if k.startswith(f"{prefix}.{idx}.")}
+        if any(k.startswith("module.") for k in sub):
+            sub = {k[len("module."):]: v for k, v in sub.items()}
+        conv = convert_kan_conv(sub, family, groups)
+        scope = f"KanConvND_{j}"
+        assert scope in params, f"{scope} not in {sorted(params)[:8]}..."
+        tgt = dict(params[scope])
+        for k, v in conv.items():
+            if not k.startswith("__"):
+                tgt[k] = np.asarray(v)
+        np_ = conv.get("__norm_params__")
+        if np_:
+            nscope = next((k for k in tgt if "Norm" in k), None)
+            assert nscope is not None, f"no norm scope in {sorted(tgt)}"
+            ns = dict(tgt[nscope])
+            ns.update({k: np.asarray(v) for k, v in np_.items()})
+            tgt[nscope] = ns
+        params[scope] = tgt
+
+
+def convert_alexnet(sd: Mapping[str, np.ndarray], model, variables):
+    """Migrate a reference AlexNetKAN state_dict (models/kan_alexnet.py:11-
+    313) into convkan_tpu.models.AlexNetKAN variables (Linear or 'AlexNet'
+    classifier; kanconv features of any family)."""
+    import jax
+
+    family = REF_FAMILY[model.kan_conv or "KAN"]
+    params = dict(jax.tree_util.tree_map(np.asarray,
+                                         jax.device_get(variables))["params"])
+    _graft_feature_convs(sd, params, family, model.groups)
+
+    # classifier Sequential uses NAMED modules fc1/fc2/fc3
+    # (kan_alexnet.py:178-224) -> our Linear_0/1/2
+    for j, fc in enumerate(("fc1", "fc2", "fc3")):
+        wk = f"classifier.{fc}.weight"
+        if wk not in sd:
+            continue
+        params[f"Linear_{j}"] = {
+            "w": convert_linear(sd[wk]),
+            "b": np.asarray(sd[f"classifier.{fc}.bias"]),
+        }
+
+    out = {"params": params}
+    for col, v in variables.items():
+        if col != "params":
+            out[col] = v
+    return out

@@ -38,3 +38,60 @@ def test_vgg_kan_linear_migration():
 def test_vgg_cheby_kanhead_migration():
     _run("model_vgg_cheby_kanhead", kan_conv="ChebyKAN",
          classifier_type="KAN", kan_classifier="KAN")
+
+
+def test_alexnet_state_dict_migration():
+    """convert_alexnet maps the reference AlexNetKAN state-dict layout
+    (features.N conv modules with Sequential pool indices skipped; named
+    classifier.fc1/2/3) onto our scopes.  Numeric parity of the per-layer
+    conversion itself is pinned by the conv/mlp goldens; this test checks
+    the whole-model key mapping and that grafted weights drive the
+    forward.  (A whole-model f64 fixture was evaluated and dropped: 250 MB
+    — see tools/goldens/dump_reference.py.)"""
+    import jax.numpy as jnp
+
+    from convkan_tpu.models.alexnet import alexnet_kan
+    from convkan_tpu.utils.torch_compat import convert_alexnet
+
+    rng = np.random.RandomState(0)
+    K = 8  # grid 5 + order 3
+    dims = [(3, 64, 5), (64, 192, 5), (192, 384, 3), (384, 256, 3),
+            (256, 256, 3)]
+    feat_idx = [0, 2, 4, 5, 6]  # Sequential positions, pools interleaved
+    sd = {}
+    for idx, (ci, co, k) in zip(feat_idx, dims):
+        sd[f"features.{idx}.base_conv.0.weight"] = rng.randn(
+            co, ci, k, k).astype(np.float32) * 0.05
+        sd[f"features.{idx}.spline_conv.0.weight"] = rng.randn(
+            co, ci * K, k, k).astype(np.float32) * 0.05
+        sd[f"features.{idx}.prelus.0.weight"] = np.full((1,), 0.25,
+                                                        np.float32)
+    sd["classifier.fc1.weight"] = rng.randn(1024, 9216).astype(np.float32) * 0.01
+    sd["classifier.fc1.bias"] = rng.randn(1024).astype(np.float32) * 0.01
+    sd["classifier.fc2.weight"] = rng.randn(1024, 1024).astype(np.float32) * 0.01
+    sd["classifier.fc2.bias"] = rng.randn(1024).astype(np.float32) * 0.01
+    sd["classifier.fc3.weight"] = rng.randn(10, 1024).astype(np.float32) * 0.01
+    sd["classifier.fc3.bias"] = rng.randn(10).astype(np.float32) * 0.01
+
+    model = alexnet_kan(num_classes=10, input_channels=3, arch="small",
+                        kan_conv="KAN", classifier_type="Linear")
+    x = jnp.asarray(rng.randn(2, 64, 64, 3), jnp.float32)
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(jax.random.PRNGKey(0), x)
+    y_init = model.apply(variables, x, train=False)
+
+    migrated = convert_alexnet(sd, model, variables)
+    # every fc landed transposed
+    np.testing.assert_array_equal(
+        np.asarray(migrated["params"]["Linear_0"]["w"]),
+        sd["classifier.fc1.weight"].T)
+    # conv weights landed (HWIO, group-folded)
+    w0 = np.asarray(migrated["params"]["KanConvND_0"]["base_w"])
+    assert w0.shape == (5, 5, 3, 64)
+    np.testing.assert_allclose(
+        w0[..., 0, 0], sd["features.0.base_conv.0.weight"][0, 0])
+
+    y = model.apply(migrated, x, train=False)
+    assert np.isfinite(np.asarray(y)).all()
+    assert float(jnp.max(jnp.abs(y - y_init))) > 1e-4

@@ -232,6 +232,12 @@ def dump_models():
         x = torch.randn(2, 3, 32, 32)
         _save(name, model, x)
 
+    # NOTE: an AlexNet-small whole-model golden was evaluated and dropped —
+    # the f64 fixture is 250 MB (fc1 alone is 9216x1024).  AlexNet
+    # migration is covered structurally (tests/test_model_migration.py::
+    # test_alexnet_state_dict_migration) on top of the layer-level numeric
+    # goldens, which pin the same convert_kan_conv mapping.
+
 
 def dump_train_steps():
     """Training-dynamics golden: 5 AdamW steps on a KAN MLP with fixed

@@ -77,6 +77,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="resume from the _last checkpoint if present")
     p.add_argument("--synthetic_data", action="store_true",
                    help="use synthetic dataset-shaped data (no files needed)")
+    p.add_argument("--synthetic_size", type=int, default=2048,
+                   help="synthetic train-set size (with --synthetic_data)")
     p.add_argument("--mesh_data", type=int, default=None,
                    help="data-parallel devices (default: all)")
     p.add_argument("--patience", type=float, default=float("inf"),
@@ -243,6 +245,7 @@ def main(argv=None):
 
     train_ds, test_ds, classes = get_datasets(
         args.dataset, args.data_path, synthetic=args.synthetic_data,
+        synthetic_size=args.synthetic_size,
         imagenet_preprocessing=args.imagenet_preprocessing)
     num_classes = len(classes)
     if args.imagenet_preprocessing:
