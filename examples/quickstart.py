@@ -62,8 +62,49 @@ def export_demo(model, state):
           np.asarray(fn(x)).shape)
 
 
+def round2_features_demo():
+    """Round-2 additions: per-layer L1, segment deactivation, spatial
+    sharding, and the prefetching input pipeline."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from convkan_tpu.factory.conv_factory import CONV_KAN_FACTORY
+    from convkan_tpu.nn.kan_conv import KanConvND
+    from convkan_tpu.parallel.mesh import make_mesh
+    from convkan_tpu.train.data import epoch_batches, prefetch_batches
+
+    # layer-scoped L1: only this layer's params are penalized
+    reg_layer = CONV_KAN_FACTORY["KAN"](3, 16, 3, l1_decay=1e-5)
+    print("L1-wrapped:", type(reg_layer).__name__)
+
+    # segment deactivation (training-only spline dropout to linear chords)
+    from convkan_tpu.factory.mlp_factory import MLP_KAN_FACTORY
+    mlp = MLP_KAN_FACTORY["KAN"]([784, 64, 10], p_deactivate=0.1)
+    print("segment-deactivating MLP built")
+
+    # spatial sharding: H-plane sharded conv via halo exchange
+    if len(jax.devices()) > 1:
+        mesh = make_mesh()
+        layer = KanConvND(family="cheby", input_dim=8, output_dim=16,
+                          kernel_size=3, ndim=2, padding=1, degree=3,
+                          spatial_mesh=mesh, spatial_axis="data")
+        x = jnp.zeros((2, 32, 16, 8), jnp.float32)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "data")))
+        v = layer.init(jax.random.PRNGKey(0), x, train=False)
+        print("spatially-sharded conv:",
+              layer.apply(v, xs, train=False).shape)
+
+    # double-buffered device prefetch (order-exact)
+    train_ds, _, _ = get_datasets("MNIST", synthetic=True,
+                                  synthetic_size=128)
+    n = sum(1 for _ in prefetch_batches(
+        epoch_batches(train_ds, 32, seed=0, shuffle=True)))
+    print("prefetched", n, "batches")
+
+
 if __name__ == "__main__":
     layers_demo()
     model, state = train_demo()
     export_demo(model, state)
+    round2_features_demo()
     print("done")
