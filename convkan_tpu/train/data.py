@@ -346,7 +346,10 @@ def train_batch(rng, x_uint8, dataset: str, augment: bool,
     if imagenet:
         return imagenet_batch(rng, x_uint8, train=augment, dataset=dataset)
     if augment:
-        x = augment_batch(rng, x_uint8.astype(jnp.float32))
+        # crop/flip are pure permutations (pad pixels are zero in either
+        # dtype), so augment in uint8 — 4x less gather traffic — and cast
+        # to float after; bit-identical to the float-first order.
+        x = augment_batch(rng, x_uint8).astype(jnp.float32)
         x = x / 255.0
         mean, std = NORMALIZATION[dataset]
         return (x - mean.reshape(1, 1, 1, -1)) / std.reshape(1, 1, 1, -1)
