@@ -427,6 +427,58 @@ def measure_torch_reference() -> float:
     return TORCH_BATCH * steps / dt
 
 
+def measure_serving(batches=(1, 8, 1024), steps=100):
+    """Inference serving: per-batch-size latency/throughput of the
+    flagship model's jitted forward (uint8 in -> logits), the deployment
+    surface `utils/export.py` serializes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convkan_tpu.models.vgg import vggkan
+    from convkan_tpu.train.data import normalize_batch
+    from convkan_tpu.train.state import create_train_state
+
+    model = vggkan(3, 10, arch=ARCH, kan_conv="KAN", classifier_type="Linear")
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((8, 32, 32, 3), jnp.float32),
+                               steps_per_epoch=100)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    rows = {}
+    for b in batches:
+        xb = jnp.asarray(np.random.RandomState(0).randint(
+            0, 256, (b, 32, 32, 3), dtype=np.uint8))
+
+        def fwd(acc, xb):
+            x = normalize_batch(xb, "CIFAR10")
+            out = model.apply(variables, x + acc * 0, train=False)
+            return jnp.sum(out)
+
+        def scan_steps(xb):
+            def body(acc, _):
+                s = fwd(acc * 1e-20, xb)
+                return s, s
+            _, ys = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                 jnp.arange(steps))
+            return ys[-1]
+
+        jitted = jax.jit(scan_steps)
+        _sync(jitted(xb))
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            _sync(jitted(xb))
+            times.append((time.perf_counter() - t0) / steps)
+        ms = statistics.median(times)
+        rows[f"batch_{b}"] = {"latency_ms": round(ms * 1e3, 4),
+                              "images_per_sec": round(b / ms, 1)}
+    return {"metric": "kan_vgg_cifar10_serving", "unit": "per-batch rows",
+            "rows": rows}
+
+
 def get_baseline() -> float:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -448,6 +500,11 @@ def main():
     import jax
 
     device_kind = jax.devices()[0].device_kind
+    if "--serving" in sys.argv:
+        out = measure_serving()
+        out["device_kind"] = device_kind
+        print(json.dumps(out))
+        return
     head = measure_vgg_train()
     head.update(_mfu_fields(head["value"],
                             head["flops_per_step"] / head["batch"],
