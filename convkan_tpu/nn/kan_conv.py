@@ -733,8 +733,6 @@ class KanConvND(nn.Module):
     def _maybe_fused(self, x, base_w, poly_w, act, train, kshape,
                      beta=None, phase_low=None, phase_high=None):
         """Returns the fused pre-norm output, or None to use the jnp path."""
-        import jax as _jax
-
         from ..kernels.fused_kan_conv import make_fused_kan_conv_op, supported
 
         spec = self.spec
