@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 
 from convkan_tpu.factory.conv_factory import CONV_KAN_FACTORY
+from convkan_tpu.nn.kan_conv import KanConvND
 from convkan_tpu.factory.mlp_factory import MLP_KAN_FACTORY
 from convkan_tpu.train.metrics import cross_entropy_loss
 
@@ -65,3 +66,27 @@ def test_mlp_family_gradients(key):
     assert np.isfinite(loss)
     assert finite, f"{key}: non-finite gradients"
     assert nonzero > 0, f"{key}: all-zero gradients over {n} leaves"
+
+
+@pytest.mark.parametrize("family", ["kan", "fastkan", "cheby", "legendre",
+                                    "gram", "jacobi", "bernstein", "fourier",
+                                    "relukan", "taylor"])
+def test_train_mode_dropout_paths(family):
+    """Train-mode forward+grad with dropout>0: exercises the per-family
+    dropout sites and the degree-major fast path's fallback boundary
+    (jacobi's basis-site dropout must fall back; others stay fast)."""
+    m = KanConvND(family=family, input_dim=6, output_dim=8, kernel_size=3,
+                  ndim=2, padding=1, degree=3, grid_size=5, dropout=0.25)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6), jnp.float32)
+    v = m.init({"params": jax.random.PRNGKey(1),
+                "dropout": jax.random.PRNGKey(2)}, x, train=True)
+
+    def loss(params, xx):
+        out = m.apply({"params": params}, xx, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(out ** 2)
+
+    l, g = jax.value_and_grad(loss, argnums=(0, 1))(v["params"], x)
+    assert np.isfinite(float(l))
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
