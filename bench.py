@@ -186,8 +186,12 @@ def measure_kanconv_micro():
 
 
 # ------------------------------------------------------------ config 2
-def measure_fastkan_mlp(batch=1024, steps=50):
-    """FastKAN MLP [784,128,64,10] MNIST-shaped train step (config 2)."""
+def measure_fastkan_mlp(batch=1024, steps=500):
+    """FastKAN MLP [784,128,64,10] MNIST-shaped train step (config 2).
+
+    steps=500: one step is ~0.07 ms of device work, so a 50-step window
+    was dominated by the ~20 ms tunnel round trip (run-to-run spread
+    0.94-1.22M img/s); 500 chained steps put compute at >10x the RTT."""
     import jax
     import jax.numpy as jnp
     import numpy as np
