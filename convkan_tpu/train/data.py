@@ -391,10 +391,19 @@ def put_batch(arrays, sharding=None):
 
 def local_batch_slice(n: int):
     """(start, stop) rows of a global batch of `n` owned by this process —
-    the per-host sharding hook for multi-host data parallelism."""
+    the per-host sharding hook for multi-host data parallelism.
+
+    `jax.make_array_from_process_local_data` with an evenly-partitioned
+    NamedSharding requires equal per-process shards, so the global batch
+    must divide evenly (train uses drop_last and eval pads, so it does)."""
     pc, pi = jax.process_count(), jax.process_index()
+    if n % pc:
+        raise ValueError(
+            f"global batch {n} is not divisible by process_count {pc}; "
+            "pad or drop the remainder before sharding across hosts "
+            "(train batches use drop_last=True, eval batches are padded)")
     per = n // pc
-    return pi * per, (pi + 1) * per if pi != pc - 1 else n
+    return pi * per, (pi + 1) * per
 
 
 def prefetch_batches(it, size: int = 2, sharding=None, host_thread=True):
@@ -419,11 +428,14 @@ def prefetch_batches(it, size: int = 2, sharding=None, host_thread=True):
         _END = object()
 
         def _feed():
+            # An iterator error must fail the run, not silently truncate
+            # the epoch: forward the exception to the consumer thread.
             try:
                 for b in it:
                     q.put(b)
-            finally:
                 q.put(_END)
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                q.put(e)
 
         threading.Thread(target=_feed, daemon=True).start()
 
@@ -432,6 +444,8 @@ def prefetch_batches(it, size: int = 2, sharding=None, host_thread=True):
                 b = q.get()
                 if b is _END:
                     return
+                if isinstance(b, BaseException):
+                    raise b
                 yield b
         src = host_iter()
     else:
