@@ -262,6 +262,42 @@ class KanConvND(nn.Module):
             x, deterministic=not train
         )
 
+    def _fastkan_input_norm(self, t, train: bool):
+        """FastKAN pre-RBF input norm: one `norm_class(input_dim // groups)`
+        instance PER group slice (fast_kan_layers.py:80,106) — not one
+        full-width norm.  Identical for per-channel norms (InstanceNorm /
+        BatchNorm) but distinct for cross-channel ones.
+
+        Reference quirk reproduced exactly: torch LayerNorm/RMSNorm given
+        `normalized_shape=in_g` on an NCHW conv input normalize over the
+        LAST torch axis (the trailing spatial dim), which only runs in the
+        reference when that dim == in_g.  Channel-last equivalent: swap the
+        channel and trailing-spatial axes around the norm (see PARITY.md)."""
+        from ..utils.norms import LayerNorm, RMSNorm, resolve_norm
+
+        in_g = self.in_g
+        cls = resolve_norm(self.norm_layer)
+        trailing = cls in (LayerNorm, RMSNorm) and t.ndim > 2
+
+        def apply(norm, ts):
+            if trailing:
+                if ts.shape[-2] != in_g:
+                    raise ValueError(
+                        f"reference {cls.__name__}(in_g={in_g}) on a conv "
+                        f"input normalizes the trailing spatial axis and "
+                        f"requires it == in_g, got {ts.shape[-2]} "
+                        "(fast_kan_layers.py:80)")
+                return jnp.swapaxes(
+                    norm(jnp.swapaxes(ts, -1, -2), train=train), -1, -2)
+            return norm(ts, train=train)
+
+        parts = []
+        for g in range(self.groups):
+            norm_g = make_norm(self.norm_layer, in_g, name=f"input_norm_{g}",
+                               **dict(self.norm_kwargs))
+            parts.append(apply(norm_g, t[..., g * in_g:(g + 1) * in_g]))
+        return parts[0] if self.groups == 1 else jnp.concatenate(parts, axis=-1)
+
     def _grouped_minmax_squash(self, x):
         """2(x - min)/(max - min) - 1 with min/max over the whole per-group
         slice including batch (legendre_kan_layers.py:130)."""
@@ -518,10 +554,7 @@ class KanConvND(nn.Module):
             # (fast_kan_layers.py:100-108)
             if train:
                 t = self._channel_dropout(t, train)
-            input_norm = make_norm(
-                self.norm_layer, self.input_dim, **dict(self.norm_kwargs)
-            )
-            t = input_norm(t, train=train)
+            t = self._fastkan_input_norm(t, train)
 
         # ------- degree-major fast path (groups==1): the channel-major
         # flatten of the stacked (..., C, K) basis forces a full lane

@@ -212,15 +212,16 @@ def resolve_norm(norm) -> Optional[Callable]:
     return norm
 
 
-def make_norm(norm, num_features: int, **norm_kwargs):
+def make_norm(norm, num_features: int, name: str = None, **norm_kwargs):
     """Instantiate a norm class with signature-filtered kwargs, mirroring the
     reference's `inspect.signature` filtering (layers/kan_layers.py:178-181).
 
     The reference also maps its `affine` flag onto whichever of
-    affine/elementwise_affine the norm supports."""
+    affine/elementwise_affine the norm supports.  `name` pins the flax scope
+    (used where a layer holds several instances, e.g. per-group norms)."""
     cls = resolve_norm(norm)
     if cls is None:
-        return Identity(num_features=num_features)
+        return Identity(num_features=num_features, name=name)
     valid = inspect.signature(cls).parameters
     kwargs = {}
     for k, v in norm_kwargs.items():
@@ -228,4 +229,4 @@ def make_norm(norm, num_features: int, **norm_kwargs):
             kwargs[k] = v
         elif k == "affine" and "elementwise_affine" in valid:
             kwargs["elementwise_affine"] = v
-    return cls(num_features=num_features, **kwargs)
+    return cls(num_features=num_features, name=name, **kwargs)

@@ -77,15 +77,35 @@ def convert_kan_conv(sd: Mapping[str, np.ndarray], family: str, groups: int,
             [np.asarray(sd[k]).reshape(()) for k in prelu_keys]
         )
 
-    # Norm parameters (InstanceNorm default is affine-free; BatchNorm /
-    # affine InstanceNorm map per-group params onto the full-width module).
-    # Returned under reserved keys; the caller grafts them onto the flax
-    # norm submodule scope (auto-named, e.g. 'BatchNorm_0').
-    norm_params, norm_stats = _convert_group_norms(sd, "layer_norm", groups)
-    if norm_params:
-        params["__norm_params__"] = norm_params
-    if norm_stats:
-        params["__norm_stats__"] = norm_stats
+    # Norm parameters.  For fastkan, `layer_norm` is the per-group INPUT
+    # norm (fast_kan_layers.py:80) and maps onto the `input_norm_{g}`
+    # scopes one-to-one.  For every other family it is the per-group
+    # OUTPUT norm; per-group params concatenate onto the full-width module
+    # (returned under reserved keys; the caller grafts them onto the flax
+    # norm submodule scope, auto-named e.g. 'BatchNorm_0').
+    if family == "fastkan":
+        scoped_stats = {}
+        for g in range(groups):
+            if f"layer_norm.{g}.weight" in sd:
+                params[f"input_norm_{g}"] = {
+                    "weight": np.asarray(sd[f"layer_norm.{g}.weight"]),
+                    "bias": np.asarray(sd[f"layer_norm.{g}.bias"]),
+                } if f"layer_norm.{g}.bias" in sd else {
+                    "weight": np.asarray(sd[f"layer_norm.{g}.weight"]),
+                }
+            if f"layer_norm.{g}.running_mean" in sd:
+                scoped_stats[f"input_norm_{g}"] = {
+                    "mean": np.asarray(sd[f"layer_norm.{g}.running_mean"]),
+                    "var": np.asarray(sd[f"layer_norm.{g}.running_var"]),
+                }
+        if scoped_stats:
+            params["__scoped_stats__"] = scoped_stats
+    else:
+        norm_params, norm_stats = _convert_group_norms(sd, "layer_norm", groups)
+        if norm_params:
+            params["__norm_params__"] = norm_params
+        if norm_stats:
+            params["__norm_stats__"] = norm_stats
     return params
 
 
@@ -267,6 +287,196 @@ def _graft_feature_convs(sd, params, family: str, groups: int,
             ns.update({k: np.asarray(v) for k, v in np_.items()})
             tgt[nscope] = ns
         params[scope] = tgt
+
+
+# ------------------------------------------------------------------ shared
+# graft primitives for the block-structured model families (MobileNet
+# v1-v3, EfficientNet v1/v2): each copies one reference sublayer into one
+# flax scope dict (params) + its batch_stats dict.
+
+def _trees(variables):
+    import jax
+
+    t = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
+    return dict(t["params"]), dict(t.get("batch_stats", {}))
+
+
+def _sub_sd(sd: Mapping[str, np.ndarray], prefix: str):
+    p = prefix + "."
+    out = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+    if any(k.startswith("module.") for k in out):  # L1 wrapper
+        out = {k[len("module."):]: v for k, v in out.items()}
+    return out
+
+
+def _norm_scope(scope_dict):
+    return next((k for k in scope_dict if "Norm" in k), None)
+
+
+def _graft_kanconv(pscope, sscope, sub, family: str, groups: int):
+    """Reference KAN conv layer state_dict -> one KanConvND scope
+    (params dict + batch_stats dict, both mutated in place)."""
+    conv = convert_kan_conv(sub, family, groups)
+    scoped_stats = conv.pop("__scoped_stats__", None)
+    norm_params = conv.pop("__norm_params__", None)
+    norm_stats = conv.pop("__norm_stats__", None)
+    for k, v in conv.items():
+        if isinstance(v, dict):  # named child scope (fastkan input_norm_g)
+            inner = dict(pscope[k])
+            for kk, vv in v.items():
+                inner[kk] = np.asarray(vv).reshape(inner[kk].shape)
+            pscope[k] = inner
+        else:
+            assert k in pscope and pscope[k].shape == np.shape(v), (
+                f"{k}: {pscope.get(k) is not None and pscope[k].shape} vs "
+                f"{np.shape(v)}")
+            pscope[k] = np.asarray(v)
+    if norm_params:
+        ns = _norm_scope(pscope)
+        assert ns is not None, f"no norm scope in {sorted(pscope)}"
+        d = dict(pscope[ns])
+        for k, v in norm_params.items():
+            d[k] = np.asarray(v).reshape(d[k].shape)
+        pscope[ns] = d
+    if norm_stats:
+        ns = _norm_scope(sscope)
+        assert ns is not None, f"no norm stats scope in {sorted(sscope)}"
+        d = dict(sscope[ns])
+        d["mean"] = np.asarray(norm_stats["mean"]).reshape(d["mean"].shape)
+        d["var"] = np.asarray(norm_stats["var"]).reshape(d["var"].shape)
+        sscope[ns] = d
+    if scoped_stats:
+        for scope, v in scoped_stats.items():
+            d = dict(sscope[scope])
+            for kk, vv in v.items():
+                d[kk] = np.asarray(vv).reshape(d[kk].shape)
+            sscope[scope] = d
+
+
+def _graft_std_block(pscope, sscope, sub):
+    """Reference ConvNormActivation (Sequential conv/norm/act) -> one
+    StdConvBlock scope."""
+    conv = {"w": _hwio(np.asarray(sub["0.weight"]))}
+    if "0.bias" in sub:
+        conv["b"] = np.asarray(sub["0.bias"])
+    pscope["Conv_0"] = conv
+    if "1.weight" in sub:
+        ns = _norm_scope(pscope)
+        assert ns is not None, f"no norm scope in {sorted(pscope)}"
+        d = dict(pscope[ns])
+        d["weight"] = np.asarray(sub["1.weight"]).reshape(d["weight"].shape)
+        d["bias"] = np.asarray(sub["1.bias"]).reshape(d["bias"].shape)
+        pscope[ns] = d
+    if "1.running_mean" in sub:
+        ns = _norm_scope(sscope)
+        d = dict(sscope[ns])
+        d["mean"] = np.asarray(sub["1.running_mean"])
+        d["var"] = np.asarray(sub["1.running_var"])
+        sscope[ns] = d
+
+
+def _graft_se(pscope, sub):
+    """torchvision SqueezeExcitation (fc1/fc2 1x1 convs) -> our
+    SqueezeExcitation scope (ops/layers.py:61)."""
+    pscope["fc1_w"] = _hwio(np.asarray(sub["fc1.weight"]))
+    pscope["fc1_b"] = np.asarray(sub["fc1.bias"])
+    pscope["fc2_w"] = _hwio(np.asarray(sub["fc2.weight"]))
+    pscope["fc2_b"] = np.asarray(sub["fc2.bias"])
+
+
+def _linear_params(sd, prefix):
+    return {"w": convert_linear(sd[f"{prefix}.weight"]),
+            "b": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def convert_mobilenet_v3(sd: Mapping[str, np.ndarray], model, variables):
+    """Migrate a reference MobileNetV3KAN state_dict
+    (models/kan_mobilenetv3.py:194-410) into
+    convkan_tpu.models.MobileNetV3KAN variables.
+
+    Covers the kanconv path (any family), std depthwise or
+    replace_depthwise, SE blocks, BatchNorm running stats, and the Linear
+    classifier head."""
+    from ..models.mobilenetv3 import mobilenet_v3_conf
+
+    assert model.conv_type == "kanconv", "conv-only variant not supported"
+    family = REF_FAMILY[model.kan_conv or "KAN"]
+    params, stats = _trees(variables)
+    cfgs, _ = mobilenet_v3_conf(model.arch, model.width_mult,
+                                model.reduced_tail, model.dilated)
+
+    def kan_scope(scope, sub):
+        p = dict(params[scope])
+        s = dict(stats.get(scope, {}))
+        _graft_kanconv(p, s, sub, family, model.groups)
+        params[scope] = p
+        if s:
+            stats[scope] = s
+
+    # stem + final 1x1 are top-level factory convs
+    kan_scope("KanConvND_0", _sub_sd(sd, "features.0"))
+    kan_scope("KanConvND_1", _sub_sd(sd, f"features.{len(cfgs) + 1}"))
+
+    for n, cnf in enumerate(cfgs, start=1):
+        bscope = f"_MNV3Block_{n - 1}"
+        bp = dict(params[bscope])
+        bs = dict(stats.get(bscope, {}))
+        j = 0
+        kan_i = 0
+        if cnf.expanded_channels != cnf.input_channels:
+            sub = _sub_sd(sd, f"features.{n}.block.{j}")
+            p = dict(bp[f"KanConvND_{kan_i}"])
+            s = dict(bs.get(f"KanConvND_{kan_i}", {}))
+            _graft_kanconv(p, s, sub, family, model.groups)
+            bp[f"KanConvND_{kan_i}"] = p
+            if s:
+                bs[f"KanConvND_{kan_i}"] = s
+            kan_i += 1
+            j += 1
+        sub = _sub_sd(sd, f"features.{n}.block.{j}")
+        if model.replace_depthwise:
+            p = dict(bp[f"KanConvND_{kan_i}"])
+            s = dict(bs.get(f"KanConvND_{kan_i}", {}))
+            _graft_kanconv(p, s, sub, family, cnf.expanded_channels)
+            bp[f"KanConvND_{kan_i}"] = p
+            if s:
+                bs[f"KanConvND_{kan_i}"] = s
+            kan_i += 1
+        else:
+            p = dict(bp["StdConvBlock_0"])
+            s = dict(bs.get("StdConvBlock_0", {}))
+            _graft_std_block(p, s, sub)
+            bp["StdConvBlock_0"] = p
+            if s:
+                bs["StdConvBlock_0"] = s
+        j += 1
+        if cnf.use_se:
+            p = dict(bp["SqueezeExcitation_0"])
+            _graft_se(p, _sub_sd(sd, f"features.{n}.block.{j}"))
+            bp["SqueezeExcitation_0"] = p
+            j += 1
+        sub = _sub_sd(sd, f"features.{n}.block.{j}")
+        p = dict(bp[f"KanConvND_{kan_i}"])
+        s = dict(bs.get(f"KanConvND_{kan_i}", {}))
+        _graft_kanconv(p, s, sub, family, model.groups)
+        bp[f"KanConvND_{kan_i}"] = p
+        if s:
+            bs[f"KanConvND_{kan_i}"] = s
+        params[bscope] = bp
+        if bs:
+            stats[bscope] = bs
+
+    if model.classifier_type == "Linear":
+        params["Linear_0"] = _linear_params(sd, "classifier.0")
+        params["Linear_1"] = _linear_params(sd, "classifier.3")
+
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    for col, v in variables.items():
+        if col not in out:
+            out[col] = v
+    return out
 
 
 def convert_alexnet(sd: Mapping[str, np.ndarray], model, variables):

@@ -41,13 +41,27 @@ def graft(variables, converted: Dict[str, Any], norm_scope: str = None):
     converted = dict(converted)
     norm_params = converted.pop("__norm_params__", None)
     norm_stats = converted.pop("__norm_stats__", None)
+    scoped_stats = converted.pop("__scoped_stats__", None)
     for k, v in converted.items():
         assert k in params, f"param {k} missing from init tree {list(params)}"
+        if isinstance(v, dict):
+            # a named submodule scope (e.g. fastkan's input_norm_{g})
+            sub = dict(params[k])
+            for kk, vv in v.items():
+                sub[kk] = np.asarray(vv).reshape(sub[kk].shape)
+            params[k] = sub
+            continue
         assert params[k].shape == np.shape(v), (
             f"{k}: init {params[k].shape} vs converted {np.shape(v)}"
         )
         # keep the reference dtype (f64 goldens drive an f64 forward)
         params[k] = np.asarray(v)
+    if scoped_stats:
+        for scope, v in scoped_stats.items():
+            sub = dict(stats[scope])
+            for kk, vv in v.items():
+                sub[kk] = np.asarray(vv).reshape(sub[kk].shape)
+            stats[scope] = sub
     if norm_params is not None:
         assert norm_scope is not None and norm_scope in params, (
             f"norm scope {norm_scope} not in {list(params)}"

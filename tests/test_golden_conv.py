@@ -127,6 +127,21 @@ def test_conv2d_kan_batchnorm():
     assert_close(y, y_ref, name="conv2d_kan_bn")
 
 
+@pytest.mark.parametrize("tag,norm", [("bn", "BatchNorm2d"), ("ln", "LayerNorm")])
+def test_conv2d_fastkan_grouped_norm(tag, norm):
+    """Per-group FastKAN input norm (fast_kan_layers.py:80,106): one
+    norm_class(in_g) instance per group slice — including running stats per
+    group (bn) and torch's trailing-axis LayerNorm semantics (ln)."""
+    x, y_ref, sd = load_golden(f"conv2d_fastkan_g2_{tag}")
+    module = KanConvND(family="fastkan", input_dim=6, output_dim=8,
+                       kernel_size=3, ndim=2, groups=2, padding=1,
+                       grid_size=8, grid_range=(-2.0, 2.0),
+                       norm_layer=norm, param_dtype=jnp.float64,
+                       grid_override=tuple(np.asarray(sd["rbf.grid"]).ravel()))
+    y = _run_layer(module, sd, "fastkan", 2, x)
+    assert_close(y, y_ref, name=f"conv2d_fastkan_g2_{tag}")
+
+
 @pytest.mark.parametrize("rank,name,dims,groups", [
     (1, "conv1d_wavkan_fast", (6, 8), 1),
     (3, "conv3d_wavkan_fast", (4, 6), 1),

@@ -95,3 +95,24 @@ def test_alexnet_state_dict_migration():
     y = model.apply(migrated, x, train=False)
     assert np.isfinite(np.asarray(y)).all()
     assert float(jnp.max(jnp.abs(y - y_init))) > 1e-4
+
+
+def test_mnv3_small_migration():
+    """Whole-model MobileNetV3KAN migration (kan_mobilenetv3.py:194-410):
+    grafted reference weights + running stats reproduce the reference
+    forward, covering stem/last factory convs, expand/project kanconvs,
+    std depthwise blocks, SE modules, and the 2-Linear head."""
+    from convkan_tpu.models.mobilenetv3 import mobilenet_v3_kan
+    from convkan_tpu.utils.torch_compat import convert_mobilenet_v3
+
+    x, y_ref, sd = load_golden("model_mnv3_small_cheby")
+    model = mobilenet_v3_kan("small", num_classes=4, width_mult=0.25,
+                             kan_conv="ChebyKAN", degree=3,
+                             classifier_type="Linear")
+    xh = nchw_to_nhwc(x)
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(jax.random.PRNGKey(0), xh.astype(np.float32))
+    variables = convert_mobilenet_v3(sd, model, variables)
+    y = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, xh)
+    assert_close(np.asarray(y), y_ref, tol=1e-5, name="model_mnv3_small")

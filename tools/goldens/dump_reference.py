@@ -157,6 +157,39 @@ def dump_conv_layers():
     _save("conv3d_wavkan_fast", w3, torch.randn(2, 4, 5, 6, 6))
 
 
+def dump_fastkan_norm_variants():
+    """FastKAN grouped input-norm fidelity fixtures (VERDICT r2 #6).
+
+    The reference builds one `norm_class(input_dim // groups)` instance per
+    group (fast_kan_layers.py:80) and applies it to that group's slice
+    (:106).  Two reference-expressible non-default norms:
+
+    * BatchNorm2d — affine + running stats per group (stats perturbed by
+      train-mode forwards so the eval fixture is non-trivial).
+    * LayerNorm — torch normalizes the trailing NCHW axis (W), which only
+      runs when W == in_g; the fixture pins that documented quirk.
+    """
+    from layers import FastKANConv2DLayer
+
+    torch.manual_seed(42)
+    lbn = FastKANConv2DLayer(6, 8, 3, groups=2, padding=1,
+                             norm_layer=torch.nn.BatchNorm2d)
+    lbn = lbn.double()
+    torch.manual_seed(11)
+    with torch.no_grad():
+        for _ in range(3):  # move running stats off their init values
+            lbn(torch.randn(2, 6, 8, 8).double())
+    torch.manual_seed(7)
+    _save("conv2d_fastkan_g2_bn", lbn, torch.randn(2, 6, 8, 8))
+
+    torch.manual_seed(42)
+    lln = FastKANConv2DLayer(6, 8, 3, groups=2, padding=1,
+                             norm_layer=torch.nn.LayerNorm)
+    torch.manual_seed(7)
+    # trailing spatial dim == in_g == 3 (the only shape torch accepts)
+    _save("conv2d_fastkan_g2_ln", lln, torch.randn(2, 6, 9, 3))
+
+
 def dump_mlp_layers():
     from layers import (
         KANLayer, FastKANLayer, ChebyKANLayer, LegendreKANLayer,
@@ -326,11 +359,38 @@ def dump_rank_coverage():
     _save("conv3d_wavkan_fast_g2", w3, torch.randn(2, 4, 5, 6, 6))
 
 
+def dump_mobilenet_v3():
+    """Whole-model MNv3-small migration fixture (VERDICT r2 #5): grafted
+    reference weights must reproduce the reference forward end-to-end.
+    width_mult=0.25 + 64^2 input keeps the committed f64 fixture small."""
+    import tv_stub  # noqa: F401  (torchvision SqueezeExcitation stub)
+    from models.kan_mobilenetv3 import MobileNetV3KAN
+
+    torch.manual_seed(42)
+    m = MobileNetV3KAN(arch="small", num_classes=4, width_mult=0.25,
+                       kan_conv="ChebyKAN", degree=3,
+                       classifier_type="Linear")
+    # move BatchNorm running stats off init so the eval fixture covers them
+    m = m.double().train()
+    torch.manual_seed(11)
+    with torch.no_grad():
+        for _ in range(2):
+            m(torch.randn(2, 3, 64, 64).double())
+    torch.manual_seed(7)
+    _save("model_mnv3_small_cheby", m, torch.randn(2, 3, 64, 64))
+
+
 if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--rank-coverage" in sys.argv:
         dump_rank_coverage()
+    elif "--fastkan-norms" in sys.argv:
+        dump_fastkan_norm_variants()
+    elif "--mnv3" in sys.argv:
+        dump_mobilenet_v3()
     else:
         dump_conv_layers()
+        dump_fastkan_norm_variants()
         dump_mlp_layers()
         dump_models()
         dump_train_steps()
