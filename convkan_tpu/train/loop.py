@@ -97,11 +97,7 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
 def make_eval_step(model, dataset: str, num_classes: int, mesh=None,
                    imagenet: bool = False, state_shardings=None):
     def step(state: TrainState, x_uint8, labels, weights):
-        if imagenet:
-            from .data import imagenet_batch
-            x = imagenet_batch(None, x_uint8, train=False, dataset=dataset)
-        else:
-            x = normalize_batch(x_uint8, dataset)
+        x = _eval_preprocess(x_uint8, dataset, imagenet)
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
@@ -147,15 +143,13 @@ def _local_rows(batch):
 
 def evaluate(eval_step, state, ds: ArrayDataset, batch_size: int,
              num_classes: int, batch_sharding=None):
-    """Full-dataset eval: returns (loss, acc, precision, recall, f1,
-    inference_ms_per_image)."""
+    """Full-dataset eval: returns (loss, acc, precision, recall, f1)."""
     # accumulate on device, sync ONCE at the end — per-batch syncs would
     # serialize the dispatch pipeline (the reference pays a host sync per
     # batch for its sklearn metrics, evaluations.py:139-148)
     loss_sum = jnp.zeros((), jnp.float32)
     cm = jnp.zeros((num_classes, num_classes), jnp.float32)
     n = len(ds)
-    t0 = time.perf_counter()
 
     def padded():
         for xb, yb in epoch_batches(ds, batch_size, seed=0, shuffle=False):
@@ -165,12 +159,55 @@ def evaluate(eval_step, state, ds: ArrayDataset, batch_size: int,
         ls, cmb = eval_step(state, xb, yb, w)
         loss_sum = loss_sum + ls
         cm = cm + cmb
-    cm.block_until_ready()
-    t_infer = time.perf_counter() - t0
     p, r, f1 = macro_prf1(cm)
     acc = accuracy_from_cm(cm)
-    return (float(loss_sum) / n, float(acc), float(p), float(r), float(f1),
-            t_infer / n * 1000.0)
+    return (float(loss_sum) / n, float(acc), float(p), float(r), float(f1))
+
+
+def make_infer_timer(model, dataset: str, imagenet: bool = False,
+                     reps: int = 8):
+    """Average inference ms/image of the pure jitted forward — the
+    reference's timed region (evaluations.py:107-129,152): only
+    `model(inputs)` sits inside the clock; preprocessing, metric math and
+    host iteration are excluded, and compile is excluded by a warm-up call
+    per invocation (so epoch-0 and epoch-N agree within noise).
+
+    `reps` forwards are chained in one jitted lax.scan with a
+    data-dependent carry, ending in a host readback of the result — the
+    only timing an async dispatch path cannot fake (BENCH_NOTES.md)."""
+
+    prep = jax.jit(lambda xb: _eval_preprocess(xb, dataset, imagenet))
+
+    @jax.jit
+    def chain(state, x):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+
+        def body(acc, _):
+            out = model.apply(variables, x + acc * 1e-20, train=False)
+            return jnp.sum(out), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), None,
+                              length=reps)
+        return acc
+
+    def timer(state, x_uint8) -> float:
+        x = prep(x_uint8)
+        np.asarray(chain(state, x))  # warm-up: compile / cache effects
+        t0 = time.perf_counter()
+        np.asarray(chain(state, x))  # host readback = honest sync
+        dt = time.perf_counter() - t0
+        return dt / (reps * x.shape[0]) * 1000.0
+
+    return timer
+
+
+def _eval_preprocess(x_uint8, dataset: str, imagenet: bool):
+    if imagenet:
+        from .data import imagenet_batch
+        return imagenet_batch(None, x_uint8, train=False, dataset=dataset)
+    return normalize_batch(x_uint8, dataset)
 
 
 def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
@@ -194,7 +231,7 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
 
     history = {k: [] for k in ["train_loss", "test_loss", "accuracy",
                                "precision", "recall", "f1", "lr",
-                               "inference_ms"]}
+                               "inference_ms", "epoch_min"]}
     start_epoch = 0
     best_acc = -1.0
     if resume and path and ckpt_lib.checkpoint_exists(path, model_name, "last"):
@@ -203,6 +240,7 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
         start_epoch = int(extra.get("epoch", 0))
         best_acc = float(extra.get("best_acc", -1.0))
         history = extra.get("history", history)
+        history.setdefault("epoch_min", [])  # pre-round-3 checkpoints
         logger.info("resumed from epoch %d", start_epoch)
 
     rng = jax.random.PRNGKey(seed)
@@ -210,6 +248,16 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
     steps_per_epoch = len(train_ds) // batch_size
 
     _, batch_sharding = _shardings(mesh)
+
+    # fixed batch for the per-epoch inference timing (reference times only
+    # the forward on already-loaded data — evaluations.py:107-129)
+    infer_timer = make_infer_timer(
+        model, dataset, imagenet=getattr(test_ds, "imagenet", False))
+    xb0, yb0 = next(epoch_batches(test_ds, batch_size, seed=0,
+                                  shuffle=False))
+    xb0 = _local_rows(_pad_batch(xb0, yb0, batch_size)[:2])[0]
+    if batch_sharding is not None:
+        xb0 = jax.device_put(xb0, batch_sharding)
 
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()
@@ -226,9 +274,10 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
             losses.append(loss)
         train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
-        test_loss, acc, prec, rec, f1, inf_ms = evaluate(
+        test_loss, acc, prec, rec, f1 = evaluate(
             eval_step, state, test_ds, batch_size, num_classes,
             batch_sharding=batch_sharding)
+        inf_ms = infer_timer(state, xb0)
         # LR used this epoch (staircase exponential: lr * gamma^epoch,
         # generic_train.py:25 parity)
         lr_now = learning_rate * (gamma ** epoch)
@@ -242,6 +291,9 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
         history["inference_ms"].append(inf_ms)
 
         dt = time.perf_counter() - t0
+        # avg epoch minutes is a reference harness metric
+        # (generic_train.py:32; surfaced by final_plots' use_time table)
+        history["epoch_min"].append(dt / 60.0)
         logger.info(
             "epoch %d: train_loss %.4f test_loss %.4f acc %.4f "
             "P %.4f R %.4f F1 %.4f (%.1fs, %.3f ms/img)",
@@ -296,12 +348,15 @@ def write_results_csv(path: str, model_name: str, history: dict):
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["model", "epoch", "train_loss", "test_loss", "accuracy",
-                    "precision", "recall", "f1", "inference_ms"])
+                    "precision", "recall", "f1", "inference_ms",
+                    "epoch_min"])
+        em = history.get("epoch_min", [])
         for i in range(len(history["train_loss"])):
             w.writerow([model_name, i, history["train_loss"][i],
                         history["test_loss"][i], history["accuracy"][i],
                         history["precision"][i], history["recall"][i],
-                        history["f1"][i], history["inference_ms"][i]])
+                        history["f1"][i], history["inference_ms"][i],
+                        em[i] if i < len(em) else ""])
 
 
 def train_model_generic(model, train_ds, test_ds, dataset: str,

@@ -45,27 +45,16 @@ def final_plots(histories: Dict[str, dict], param_counts: Dict[str, int],
     fig.savefig(os.path.join(out_dir, "params_vs_accuracy.png"), dpi=120)
     plt.close(fig)
 
-    rows = ["model,best_acc,final_train_loss,final_test_loss,params"]
-    for name, h in histories.items():
-        rows.append(
-            f"{name},{max(h['accuracy']) if h['accuracy'] else ''},"
-            f"{h['train_loss'][-1] if h['train_loss'] else ''},"
-            f"{h['test_loss'][-1] if h['test_loss'] else ''},"
-            f"{param_counts.get(name, '')}")
-    with open(os.path.join(out_dir, "experiment_results.csv"), "w") as f:
-        f.write("\n".join(rows) + "\n")
+    # the reference-schema summary table (experiment_results.csv) is
+    # written by results_table(); final_plots only renders figures
 
 
-def roc_one_vs_rest(probs: np.ndarray, targets: np.ndarray,
-                    class_names: Sequence[str],
-                    out_path: Optional[str] = None):
-    """One-vs-rest ROC curves + AUCs from predicted probabilities
-    (evaluations.py:340-400 parity, sklearn-free trapezoidal AUC).
-    Returns {class_name: auc}."""
-    n_classes = probs.shape[1]
-    aucs = {}
-    curves = {}
-    for c in range(n_classes):
+def _roc_curves(probs: np.ndarray, targets: np.ndarray,
+                class_names: Sequence[str]):
+    """Per-class one-vs-rest (fpr, tpr) curves + trapezoidal AUCs
+    (sklearn-free RocCurveDisplay.from_predictions equivalent)."""
+    aucs, curves = {}, {}
+    for c in range(probs.shape[1]):
         score = probs[:, c]
         pos = targets == c
         order = np.argsort(-score)
@@ -76,17 +65,140 @@ def roc_one_vs_rest(probs: np.ndarray, targets: np.ndarray,
         N = max(int((~pos).sum()), 1)
         tpr = np.concatenate([[0.0], tp / P])
         fpr = np.concatenate([[0.0], fp / N])
-        auc = float(np.trapezoid(tpr, fpr))
-        aucs[class_names[c]] = auc
+        aucs[class_names[c]] = float(np.trapezoid(tpr, fpr))
         curves[class_names[c]] = (fpr, tpr)
+    return curves, aucs
+
+
+def _draw_roc(ax, curves, aucs, title: str):
+    """One axes of one-vs-rest ROC curves (evaluations.py:357-400)."""
+    for name, (fpr, tpr) in curves.items():
+        ax.plot(fpr, tpr, label=f"{name} (AUC {aucs[name]:.3f})")
+    ax.plot([0, 1], [0, 1], "k--", lw=0.8, label="Chance level (AUC = 0.5)")
+    ax.set_title(title)
+    ax.set_xlabel("False Positive Rate")
+    ax.set_ylabel("True Positive Rate")
+    ax.legend(fontsize=6)
+    ax.grid(True)
+
+
+def roc_one_vs_rest(probs: np.ndarray, targets: np.ndarray,
+                    class_names: Sequence[str],
+                    out_path: Optional[str] = None):
+    """One-vs-rest ROC curves + AUCs from predicted probabilities
+    (evaluations.py:357-400 parity, sklearn-free trapezoidal AUC).
+    Returns {class_name: auc}."""
+    curves, aucs = _roc_curves(probs, targets, class_names)
     if out_path:
         plt = _plt()
-        fig, ax = plt.subplots(figsize=(6, 5))
-        for name, (fpr, tpr) in curves.items():
-            ax.plot(fpr, tpr, label=f"{name} (AUC {aucs[name]:.3f})")
-        ax.plot([0, 1], [0, 1], "k--", lw=0.5)
-        ax.set_xlabel("FPR"); ax.set_ylabel("TPR"); ax.legend(fontsize=6)
+        fig, ax = plt.subplots(figsize=(7, 6))
+        _draw_roc(ax, curves, aucs, "One-vs-Rest ROC Curves")
         fig.tight_layout()
         fig.savefig(out_path, dpi=120)
         plt.close(fig)
     return aucs
+
+
+def roc_all_models(prob_sets: Dict[str, tuple], class_names: Sequence[str],
+                   out_path: str):
+    """All-models ROC figure: one stacked subplot per model
+    (plot_roc_one_vs_rest_all_models, evaluations.py:342-355).
+
+    `prob_sets` maps model name -> (probs [n, C], targets [n]) as returned
+    by predict_probs.  Returns {model: {class: auc}}."""
+    plt = _plt()
+    n = max(len(prob_sets), 1)
+    fig, axs = plt.subplots(n, 1, figsize=(7, 6 * n), squeeze=False)
+    all_aucs = {}
+    for ax, (model_name, (probs, targets)) in zip(axs[:, 0],
+                                                  prob_sets.items()):
+        curves, aucs = _roc_curves(np.asarray(probs), np.asarray(targets),
+                                   class_names)
+        _draw_roc(ax, curves, aucs,
+                  f"One-vs-Rest ROC Curves - {model_name}")
+        all_aucs[model_name] = aucs
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+    return all_aucs
+
+
+def predict_probs(model, state, ds, dataset: str, batch_size: int,
+                  imagenet: bool = False):
+    """Softmax probabilities + targets over a dataset with the jitted
+    eval forward (the reference's ROC input loop, evaluations.py:361-375,
+    without per-batch host syncs)."""
+    import jax
+
+    from .data import epoch_batches
+    from .loop import _eval_preprocess, _pad_batch
+
+    @jax.jit
+    def fwd(state, xb):
+        x = _eval_preprocess(xb, dataset, imagenet)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        return jax.nn.softmax(model.apply(variables, x, train=False),
+                              axis=-1)
+
+    probs, targets = [], []
+    for xb, yb in epoch_batches(ds, batch_size, seed=0, shuffle=False):
+        n = len(xb)
+        xb_p, yb_p, _ = _pad_batch(xb, yb, batch_size)
+        probs.append(np.asarray(fwd(state, xb_p))[:n])
+        targets.append(yb)
+    return np.concatenate(probs), np.concatenate(targets)
+
+
+def _highlight_max(col):
+    """Bold the max of a numeric column (evaluations.py:253-260)."""
+    try:
+        mx = np.nanmax(col.to_numpy(dtype=float))
+    except (TypeError, ValueError):
+        return ["" for _ in col]
+    return ["font-weight: bold" if v == mx else "" for v in col]
+
+
+def results_table(histories: Dict[str, dict], param_counts: Dict[str, int],
+                  out_dir: Optional[str] = None, use_time: bool = False):
+    """Reference results DataFrame (evaluations.py:318-338): final macro
+    metrics + parameter counts per model, styled with per-column bold-max
+    and the reference number formats.  Writes experiment_results.csv
+    (index_label 'Model Name') and an HTML render of the styled table.
+    Returns the pandas Styler."""
+    import pandas as pd
+
+    names = list(histories)
+
+    def last(h, k):
+        v = h.get(k) or [np.nan]
+        return v[-1]
+
+    df_data = {
+        "Final Test Accuracy": [last(histories[n], "accuracy") for n in names],
+        "Final Test Precision (Macro)": [last(histories[n], "precision")
+                                         for n in names],
+        "Final Test Recall (Macro)": [last(histories[n], "recall")
+                                      for n in names],
+        "Final Test F1 Score (Macro)": [last(histories[n], "f1")
+                                        for n in names],
+        "Number of Parameters": [param_counts.get(n, np.nan) for n in names],
+    }
+    if use_time:
+        df_data["Avg Epoch Time (min)"] = [
+            float(np.mean(histories[n].get("epoch_min") or [np.nan]))
+            for n in names]
+    df = pd.DataFrame(df_data, index=names)
+
+    styled = (df.style.apply(_highlight_max, axis=0)
+              .format("{:.4f}", na_rep="N/A")
+              .format({"Number of Parameters": "{:,}"}))
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        df.to_csv(os.path.join(out_dir, "experiment_results.csv"),
+                  index=True, index_label="Model Name")
+        with open(os.path.join(out_dir, "experiment_results.html"),
+                  "w") as f:
+            f.write(styled.to_html())
+    return styled

@@ -41,3 +41,24 @@ def test_cli_rejects_bad_effv2_arch():
         ["--model", "EfficientNetV2KAN", "--arch", "bogus"])
     with pytest.raises(SystemExit):
         cli.build_model(args, (32, 32, 3), 10)
+
+
+@pytest.mark.slow
+def test_cli_main_end_to_end_report_artifacts(tmp_path):
+    """train.py main(): full run emits the reference report surface —
+    loss curves, params-vs-acc scatter, reference-schema
+    experiment_results.csv + styled HTML, all-classes ROC figure, and the
+    per-epoch training_history.csv (evaluations.py:263-400)."""
+    import os
+    cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+              "--dataset", "MNIST", "--synthetic_data",
+              "--synthetic_size", "128", "--epoch", "1",
+              "--batch_size", "64", "--results_dir", str(tmp_path)])
+    for name in ("loss_curves.png", "params_vs_accuracy.png",
+                 "roc_curves.png", "experiment_results.csv",
+                 "experiment_results.html", "training_history.csv"):
+        p = tmp_path / name
+        assert p.exists() and p.stat().st_size > 0, name
+    head = (tmp_path / "experiment_results.csv").read_text().splitlines()[0]
+    assert head.startswith("Model Name,Final Test Accuracy")
+    assert os.path.isdir(tmp_path / "MNIST" / "models")

@@ -275,15 +275,27 @@ def main(argv=None):
         path=model_save_path, resume=args.resume, model_name=model_name,
         patience=args.patience)
 
-    write_results_csv(os.path.join(results_path, "experiment_results.csv"),
+    # per-epoch trajectory (beyond the reference's one-row summary)
+    write_results_csv(os.path.join(results_path, "training_history.csv"),
                       model_name, history)
     try:
         import jax as _jax
-        from convkan_tpu.train.plots import final_plots
+        from convkan_tpu.train.plots import (final_plots, predict_probs,
+                                             results_table, roc_all_models)
         n_params = sum(p.size for p in
                        _jax.tree_util.tree_leaves(state.params))
         final_plots({model_name: history}, {model_name: n_params},
                     out_dir=results_path)
+        # reference-schema summary table (evaluations.py:318-338): CSV +
+        # styled HTML with per-column bold-max
+        results_table({model_name: history}, {model_name: n_params},
+                      out_dir=results_path, use_time=True)
+        # all-classes / all-models ROC figure (evaluations.py:342-400)
+        probs, targets = predict_probs(
+            model, state, test_ds, args.dataset, args.batch_size,
+            imagenet=getattr(test_ds, "imagenet", False))
+        roc_all_models({model_name: (probs, targets)}, list(classes),
+                       os.path.join(results_path, "roc_curves.png"))
     except Exception as e:  # plotting is best-effort (headless parity)
         logger.warning("plotting skipped: %s", e)
     logger.info("Training process completed for model: %s", model_name)
