@@ -47,10 +47,15 @@ def make_conv_factory(conv_type: str, kan_conv: Optional[str], *,
 
     def std_conv(in_planes, out_planes, kernel_size, stride=1, padding=None,
                  groups=1, dilation=1, activation="relu"):
+        from ..ops.conv import same_padding
+
+        # padding=None means auto-'same', exactly like the reference's
+        # std wrapper (_calculate_same_padding, kan_mobilenet.py:219-224)
         return StdConvBlock(
             in_planes=in_planes, out_planes=out_planes,
             kernel_size=kernel_size, stride=stride,
-            padding=padding if padding is not None else 0,
+            padding=(padding if padding is not None
+                     else same_padding(kernel_size, dilation)),
             dilation=dilation, groups=groups, base_activation=activation,
             norm_layer=resolve_norm(norm_layer),
             norm_kwargs={"affine": affine})

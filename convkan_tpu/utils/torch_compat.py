@@ -389,6 +389,146 @@ def _linear_params(sd, prefix):
             "b": np.asarray(sd[f"{prefix}.bias"])}
 
 
+def _kan_into(params, stats, scope, sub, family, groups):
+    p = dict(params[scope])
+    s = dict(stats.get(scope, {}))
+    _graft_kanconv(p, s, sub, family, groups)
+    params[scope] = p
+    if s:
+        stats[scope] = s
+
+
+def _std_into(params, stats, scope, sub):
+    p = dict(params[scope])
+    s = dict(stats.get(scope, {}))
+    _graft_std_block(p, s, sub)
+    params[scope] = p
+    if s:
+        stats[scope] = s
+
+
+def _se_into(params, scope, sub):
+    p = dict(params[scope])
+    _graft_se(p, sub)
+    params[scope] = p
+
+
+def convert_mobilenet_v2(sd: Mapping[str, np.ndarray], model, variables):
+    """Migrate a reference MobileNetV2KAN state_dict
+    (models/kan_mobilenetv2.py:243-433) into
+    convkan_tpu.models.MobileNetV2KAN variables.
+
+    The inverted residuals are inline in our compact body, so scopes are
+    top-level KanConvND_k / StdConvBlock_k in creation order; reference
+    layers live at features.{n}.conv.{j}."""
+    from ..models.mobilenet import _make_divisible
+    from ..models.mobilenetv2 import V2_DEFAULT, V2_KAN_SMALL
+
+    assert model.conv_type == "kanconv", "conv-only variant not supported"
+    family = REF_FAMILY[model.kan_conv or "KAN"]
+    params, stats = _trees(variables)
+    setting = V2_KAN_SMALL if model.arch == "kan_small" else V2_DEFAULT
+
+    _kan_into(params, stats, "KanConvND_0", _sub_sd(sd, "features.0"),
+              family, model.groups)
+    kan_i, std_i, n = 1, 0, 1
+    c_in = _make_divisible(32 * model.width_mult, model.round_nearest)
+    for t, c, reps, s_ in setting:
+        c_out = _make_divisible(c * model.width_mult, model.round_nearest)
+        for i in range(reps):
+            hidden = int(round(c_in * t))
+            j = 0
+            if t != 1:
+                _kan_into(params, stats, f"KanConvND_{kan_i}",
+                          _sub_sd(sd, f"features.{n}.conv.{j}"),
+                          family, model.groups)
+                kan_i += 1
+                j += 1
+            sub = _sub_sd(sd, f"features.{n}.conv.{j}")
+            if model.replace_depthwise:
+                _kan_into(params, stats, f"KanConvND_{kan_i}", sub,
+                          family, hidden)
+                kan_i += 1
+            else:
+                _std_into(params, stats, f"StdConvBlock_{std_i}", sub)
+                std_i += 1
+            j += 1
+            _kan_into(params, stats, f"KanConvND_{kan_i}",
+                      _sub_sd(sd, f"features.{n}.conv.{j}"),
+                      family, model.groups)
+            kan_i += 1
+            n += 1
+            c_in = c_out
+    # last 1x1 conv
+    _kan_into(params, stats, f"KanConvND_{kan_i}",
+              _sub_sd(sd, f"features.{n}"), family, model.groups)
+
+    if model.classifier_type != "KAN":
+        params["Linear_0"] = _linear_params(sd, "classifier.fc")
+
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    for col, v in variables.items():
+        if col not in out:
+            out[col] = v
+    return out
+
+
+def convert_mobilenet_v1(sd: Mapping[str, np.ndarray], model, variables):
+    """Migrate a reference MobileNetV1KAN state_dict
+    (models/kan_mobilenet.py:131-342): stem + 13 depthwise-separable
+    stages (features.{n}.depthwise / .pointwise) + classifier.
+
+    NOTE the reference's kanconv path is unconstructible (it calls every
+    CONV_KAN_FACTORY wrapper with `in_channels=` where they take
+    `in_planes` — kan_mobilenet.py:249 vs layers/kan_conv.py:197; a
+    documented crash path, PARITY.md), so real reference checkpoints only
+    exist for conv_type='conv'; both layouts are handled here."""
+    params, stats = _trees(variables)
+
+    from ..models.mobilenet import V1_SETTING, _make_divisible
+
+    kan = model.conv_type == "kanconv"
+    family = REF_FAMILY[model.kan_conv or "KAN"] if kan else None
+    kan_i, std_i = 0, 0
+
+    def any_into(sub, groups):
+        nonlocal kan_i, std_i
+        if kan:
+            _kan_into(params, stats, f"KanConvND_{kan_i}", sub, family,
+                      groups)
+            kan_i += 1
+        else:
+            _std_into(params, stats, f"StdConvBlock_{std_i}", sub)
+            std_i += 1
+
+    any_into(_sub_sd(sd, "features.0"), model.groups)
+    c_in = _make_divisible(32 * model.width_mult, 8)
+    for n, (c, s_) in enumerate(V1_SETTING, start=1):
+        dw = _sub_sd(sd, f"features.{n}.depthwise")
+        if kan and model.replace_depthwise:
+            _kan_into(params, stats, f"KanConvND_{kan_i}", dw, family, c_in)
+            kan_i += 1
+        else:
+            _std_into(params, stats, f"StdConvBlock_{std_i}", dw)
+            std_i += 1
+        any_into(_sub_sd(sd, f"features.{n}.pointwise"), model.groups)
+        c_in = _make_divisible(c * model.width_mult, 8)
+
+    if model.classifier_type == "Linear":
+        # Sequential(Dropout, Linear) (kan_mobilenet.py:309)
+        params["Linear_0"] = _linear_params(sd, "classifier.1")
+
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    for col, v in variables.items():
+        if col not in out:
+            out[col] = v
+    return out
+
+
 def convert_mobilenet_v3(sd: Mapping[str, np.ndarray], model, variables):
     """Migrate a reference MobileNetV3KAN state_dict
     (models/kan_mobilenetv3.py:194-410) into
@@ -405,17 +545,11 @@ def convert_mobilenet_v3(sd: Mapping[str, np.ndarray], model, variables):
     cfgs, _ = mobilenet_v3_conf(model.arch, model.width_mult,
                                 model.reduced_tail, model.dilated)
 
-    def kan_scope(scope, sub):
-        p = dict(params[scope])
-        s = dict(stats.get(scope, {}))
-        _graft_kanconv(p, s, sub, family, model.groups)
-        params[scope] = p
-        if s:
-            stats[scope] = s
-
     # stem + final 1x1 are top-level factory convs
-    kan_scope("KanConvND_0", _sub_sd(sd, "features.0"))
-    kan_scope("KanConvND_1", _sub_sd(sd, f"features.{len(cfgs) + 1}"))
+    _kan_into(params, stats, "KanConvND_0", _sub_sd(sd, "features.0"),
+              family, model.groups)
+    _kan_into(params, stats, "KanConvND_1",
+              _sub_sd(sd, f"features.{len(cfgs) + 1}"), family, model.groups)
 
     for n, cnf in enumerate(cfgs, start=1):
         bscope = f"_MNV3Block_{n - 1}"
@@ -424,44 +558,26 @@ def convert_mobilenet_v3(sd: Mapping[str, np.ndarray], model, variables):
         j = 0
         kan_i = 0
         if cnf.expanded_channels != cnf.input_channels:
-            sub = _sub_sd(sd, f"features.{n}.block.{j}")
-            p = dict(bp[f"KanConvND_{kan_i}"])
-            s = dict(bs.get(f"KanConvND_{kan_i}", {}))
-            _graft_kanconv(p, s, sub, family, model.groups)
-            bp[f"KanConvND_{kan_i}"] = p
-            if s:
-                bs[f"KanConvND_{kan_i}"] = s
+            _kan_into(bp, bs, f"KanConvND_{kan_i}",
+                      _sub_sd(sd, f"features.{n}.block.{j}"),
+                      family, model.groups)
             kan_i += 1
             j += 1
         sub = _sub_sd(sd, f"features.{n}.block.{j}")
         if model.replace_depthwise:
-            p = dict(bp[f"KanConvND_{kan_i}"])
-            s = dict(bs.get(f"KanConvND_{kan_i}", {}))
-            _graft_kanconv(p, s, sub, family, cnf.expanded_channels)
-            bp[f"KanConvND_{kan_i}"] = p
-            if s:
-                bs[f"KanConvND_{kan_i}"] = s
+            _kan_into(bp, bs, f"KanConvND_{kan_i}", sub, family,
+                      cnf.expanded_channels)
             kan_i += 1
         else:
-            p = dict(bp["StdConvBlock_0"])
-            s = dict(bs.get("StdConvBlock_0", {}))
-            _graft_std_block(p, s, sub)
-            bp["StdConvBlock_0"] = p
-            if s:
-                bs["StdConvBlock_0"] = s
+            _std_into(bp, bs, "StdConvBlock_0", sub)
         j += 1
         if cnf.use_se:
-            p = dict(bp["SqueezeExcitation_0"])
-            _graft_se(p, _sub_sd(sd, f"features.{n}.block.{j}"))
-            bp["SqueezeExcitation_0"] = p
+            _se_into(bp, "SqueezeExcitation_0",
+                     _sub_sd(sd, f"features.{n}.block.{j}"))
             j += 1
-        sub = _sub_sd(sd, f"features.{n}.block.{j}")
-        p = dict(bp[f"KanConvND_{kan_i}"])
-        s = dict(bs.get(f"KanConvND_{kan_i}", {}))
-        _graft_kanconv(p, s, sub, family, model.groups)
-        bp[f"KanConvND_{kan_i}"] = p
-        if s:
-            bs[f"KanConvND_{kan_i}"] = s
+        _kan_into(bp, bs, f"KanConvND_{kan_i}",
+                  _sub_sd(sd, f"features.{n}.block.{j}"),
+                  family, model.groups)
         params[bscope] = bp
         if bs:
             stats[bscope] = bs

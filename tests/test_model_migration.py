@@ -116,3 +116,43 @@ def test_mnv3_small_migration():
     variables = convert_mobilenet_v3(sd, model, variables)
     y = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, xh)
     assert_close(np.asarray(y), y_ref, tol=1e-5, name="model_mnv3_small")
+
+
+def test_mnv2_kansmall_migration():
+    """Whole-model MobileNetV2KAN migration (kan_mobilenetv2.py:169-433):
+    inline inverted residuals (expand/project kanconvs + std depthwise),
+    running stats, last 1x1 conv, Linear 'fc' head."""
+    from convkan_tpu.models.mobilenetv2 import mobilenet_v2_kan
+    from convkan_tpu.utils.torch_compat import convert_mobilenet_v2
+
+    x, y_ref, sd = load_golden("model_mnv2_kansmall_bessel")
+    model = mobilenet_v2_kan(num_classes=4, arch="kan_small",
+                             width_mult=0.25, kan_conv="BesselKAN",
+                             degree=3, classifier_type="Linear")
+    xh = nchw_to_nhwc(x)
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(jax.random.PRNGKey(0), xh.astype(np.float32))
+    variables = convert_mobilenet_v2(sd, model, variables)
+    y = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, xh)
+    assert_close(np.asarray(y), y_ref, tol=1e-5, name="model_mnv2_kansmall")
+
+
+def test_mnv1_conv_migration():
+    """Whole-model MobileNetV1KAN migration (kan_mobilenet.py:131-342),
+    conv_type='conv' — the only layout real reference checkpoints can
+    have (the reference's kanconv path crashes on in_channels/in_planes,
+    see convert_mobilenet_v1)."""
+    from convkan_tpu.models.mobilenet import mobilenet_v1_kan
+    from convkan_tpu.utils.torch_compat import convert_mobilenet_v1
+
+    x, y_ref, sd = load_golden("model_mnv1_conv")
+    model = mobilenet_v1_kan(num_classes=4, width_mult=0.25,
+                             conv_type="conv", classifier_type="Linear")
+    xh = nchw_to_nhwc(x)
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(jax.random.PRNGKey(0), xh.astype(np.float32))
+    variables = convert_mobilenet_v1(sd, model, variables)
+    y = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, xh)
+    assert_close(np.asarray(y), y_ref, tol=1e-5, name="model_mnv1_conv")

@@ -380,6 +380,38 @@ def dump_mobilenet_v3():
     _save("model_mnv3_small_cheby", m, torch.randn(2, 3, 64, 64))
 
 
+def dump_mobilenet_v1_v2():
+    """Whole-model MNv1/MNv2 migration fixtures (VERDICT r2 #5)."""
+    import tv_stub  # noqa: F401  (models/__init__ imports EffNet -> tv)
+    from models.kan_mobilenet import MobileNetV1KAN
+    from models.kan_mobilenetv2 import MobileNetV2KAN
+
+    # the reference's MNv1 kanconv path is unconstructible (in_channels vs
+    # in_planes crash, kan_mobilenet.py:249) — conv_type='conv' is the
+    # only layout real reference checkpoints can have
+    torch.manual_seed(42)
+    m1 = MobileNetV1KAN(num_classes=4, width_mult=0.25,
+                        conv_type="conv",
+                        classifier_type="Linear").double().train()
+    torch.manual_seed(11)
+    with torch.no_grad():
+        for _ in range(2):
+            m1(torch.randn(2, 3, 64, 64).double())
+    torch.manual_seed(7)
+    _save("model_mnv1_conv", m1, torch.randn(2, 3, 64, 64))
+
+    torch.manual_seed(42)
+    m2 = MobileNetV2KAN(num_classes=4, arch="kan_small", width_mult=0.25,
+                        kan_conv="BesselKAN", degree=3,
+                        classifier_type="Linear").double().train()
+    torch.manual_seed(11)
+    with torch.no_grad():
+        for _ in range(2):
+            m2(torch.randn(2, 3, 32, 32).double())
+    torch.manual_seed(7)
+    _save("model_mnv2_kansmall_bessel", m2, torch.randn(2, 3, 32, 32))
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--rank-coverage" in sys.argv:
@@ -388,6 +420,8 @@ if __name__ == "__main__":
         dump_fastkan_norm_variants()
     elif "--mnv3" in sys.argv:
         dump_mobilenet_v3()
+    elif "--mnv12" in sys.argv:
+        dump_mobilenet_v1_v2()
     else:
         dump_conv_layers()
         dump_fastkan_norm_variants()
