@@ -101,12 +101,26 @@ class _EffBlock(nn.Module):
         mc = dict(self.mc)
         cfg = self.cfg
         act = mc["base_activation"] or "silu"
+        # the reference passes norm_layer=<model norm> at EVERY factory
+        # call site (kan_efficientnetv2.py:159,223,261,374,427), which
+        # overrides the partial's kan_norm_layer — that ctor default is
+        # dead there, so kanconvs really use the model norm (BatchNorm)
         conv = make_conv_factory(
             mc["conv_type"], mc["kan_conv"], spline_order=mc["spline_order"],
             grid_size=mc["grid_size"], base_activation=act,
             grid_range=mc["grid_range"], dropout=mc["conv_dropout"],
             l1_decay=mc["l1_decay"], degree=mc["degree"],
-            norm_layer=mc["norm_layer"], kan_norm_layer=mc["kan_norm_layer"],
+            norm_layer=mc["norm_layer"], kan_norm_layer=mc["norm_layer"],
+            affine=mc["affine"])
+        # project convs get base_activation=None in the reference
+        # (kan_efficientnetv2.py:170,262) -> the KAN layer's base path is
+        # Identity there
+        conv_na = make_conv_factory(
+            mc["conv_type"], mc["kan_conv"], spline_order=mc["spline_order"],
+            grid_size=mc["grid_size"], base_activation=None,
+            grid_range=mc["grid_range"], dropout=mc["conv_dropout"],
+            l1_decay=mc["l1_decay"], degree=mc["degree"],
+            norm_layer=mc["norm_layer"], kan_norm_layer=mc["norm_layer"],
             affine=mc["affine"])
 
         def std_dw(c, k, stride):
@@ -125,8 +139,8 @@ class _EffBlock(nn.Module):
             if expanded != ci:
                 y = conv(ci, expanded, kernel_size=cfg.kernel,
                          stride=stride)(y, train=train)
-                y = conv(expanded, cfg.out_channels, kernel_size=1,
-                         stride=1)(y, train=train)
+                y = conv_na(expanded, cfg.out_channels, kernel_size=1,
+                            stride=1)(y, train=train)
             else:
                 y = conv(ci, cfg.out_channels, kernel_size=cfg.kernel,
                          stride=stride)(y, train=train)
@@ -144,7 +158,8 @@ class _EffBlock(nn.Module):
                 y = SqueezeExcitation(
                     input_channels=expanded, squeeze_channels=squeeze,
                     activation=jax.nn.silu)(y)
-            y = conv(expanded, cfg.out_channels, kernel_size=1)(y, train=train)
+            y = conv_na(expanded, cfg.out_channels, kernel_size=1)(
+                y, train=train)
         if use_res:
             y = DropPath(drop_prob=self.sd)(y, train=train)
             y = x + y
@@ -203,12 +218,15 @@ class EfficientNetV2KAN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         act = self.base_activation or "silu"
+        # see _EffBlock: the reference's kan_norm_layer ctor default is
+        # dead (every call site overrides norm_layer) — stem/head kanconvs
+        # use the model norm too
         conv = make_conv_factory(
             self.conv_type, self.kan_conv, spline_order=self.spline_order,
             grid_size=self.grid_size, base_activation=act,
             grid_range=self.grid_range, dropout=self.conv_dropout,
             l1_decay=self.l1_decay, degree=self.degree,
-            norm_layer=self.norm_layer, kan_norm_layer=self.kan_norm_layer,
+            norm_layer=self.norm_layer, kan_norm_layer=self.norm_layer,
             affine=self.affine)
 
         def std_dw(c, k, stride):

@@ -104,10 +104,15 @@ class _MNV3Block(nn.Module):
 
         def conv_block(in_c, out_c, k, stride, groups, dilation=1):
             if mc["conv_type"] == "kanconv":
+                # the reference builds ONE kanconv factory partial with the
+                # model-level activation (kan_mobilenetv3.py:253-271); the
+                # per-block RE/HS activation_layer kwarg is signature-
+                # filtered away for KAN wrappers and only reaches the std
+                # depthwise ConvNormActivation layers
                 f = make_conv_factory(
                     mc["conv_type"], mc["kan_conv"],
                     spline_order=mc["spline_order"], grid_size=mc["grid_size"],
-                    base_activation=act, grid_range=mc["grid_range"],
+                    base_activation=mc["model_act"], grid_range=mc["grid_range"],
                     dropout=mc["conv_dropout"], l1_decay=mc["l1_decay"],
                     degree=mc["degree"], norm_layer=mc["norm_layer"],
                     kan_norm_layer=mc["kan_norm_layer"], affine=mc["affine"],
@@ -236,6 +241,7 @@ class MobileNetV3KAN(nn.Module):
 
         mc = dict(
             conv_type=self.conv_type, kan_conv=self.kan_conv,
+            model_act=act_name,
             spline_order=self.spline_order, grid_size=self.grid_size,
             grid_range=self.grid_range, conv_dropout=self.conv_dropout,
             l1_decay=self.l1_decay, degree=self.degree,

@@ -595,6 +595,93 @@ def convert_mobilenet_v3(sd: Mapping[str, np.ndarray], model, variables):
     return out
 
 
+def convert_efficientnetv2(sd: Mapping[str, np.ndarray], model, variables):
+    """Migrate a reference EfficientNet2DKan state_dict
+    (models/kan_efficientnetv2.py:276-505) into
+    convkan_tpu.models.EfficientNetV2KAN variables: stem / head_conv
+    factory convs, blocks.stage_{i}.{j}.block.{k} Fused-MBConv / MBConv
+    layers (expand, depthwise, SE, project), BatchNorm running stats, and
+    the Linear / HiddenKAN-fc2 classifier Linears.
+
+    (EfficientNet V1 note: the reference's kan_efficientnet.py kanconv
+    path crashes as written — a documented reference bug, PARITY.md — so
+    no V1 kanconv checkpoints can exist to migrate; our V1 runs on this
+    same engine.)"""
+    from ..models.mobilenet import _make_divisible
+
+    assert model.conv_type == "kanconv", "conv-only variant not supported"
+    family = REF_FAMILY[model.kan_conv or "KAN"]
+    params, stats = _trees(variables)
+    settings = list(model.inverted_residual_setting)
+
+    _kan_into(params, stats, "KanConvND_0", _sub_sd(sd, "stem"),
+              family, model.groups)
+    _kan_into(params, stats, "KanConvND_1", _sub_sd(sd, "head_conv"),
+              family, model.groups)
+
+    b = 0
+    for i, cfg in enumerate(settings):
+        for j in range(cfg.num_layers):
+            ci = cfg.input_channels if j == 0 else cfg.out_channels
+            expanded = _make_divisible(ci * cfg.expand_ratio, 8)
+            pre = f"blocks.stage_{i}.{j}.block"
+            # nn.remat renames the block scope Checkpoint_EffBlock_{b}
+            bscope = (f"Checkpoint_EffBlock_{b}"
+                      if f"Checkpoint_EffBlock_{b}" in params
+                      else f"_EffBlock_{b}")
+            bp = dict(params[bscope])
+            bs = dict(stats.get(bscope, {}))
+            k = 0
+            kan_i = 0
+            if cfg.block_type == "fused":
+                # expand kxk (+ project 1x1 when expanding)
+                _kan_into(bp, bs, "KanConvND_0", _sub_sd(sd, f"{pre}.0"),
+                          family, model.groups)
+                if expanded != ci:
+                    _kan_into(bp, bs, "KanConvND_1",
+                              _sub_sd(sd, f"{pre}.1"), family, model.groups)
+            else:
+                if expanded != ci:
+                    _kan_into(bp, bs, f"KanConvND_{kan_i}",
+                              _sub_sd(sd, f"{pre}.{k}"), family,
+                              model.groups)
+                    kan_i += 1
+                    k += 1
+                sub = _sub_sd(sd, f"{pre}.{k}")
+                if model.replace_depthwise:
+                    _kan_into(bp, bs, f"KanConvND_{kan_i}", sub, family,
+                              expanded)
+                    kan_i += 1
+                else:
+                    _std_into(bp, bs, "StdConvBlock_0", sub)
+                k += 1
+                if cfg.se_ratio is not None and cfg.se_ratio > 0:
+                    _se_into(bp, "SqueezeExcitation_0",
+                             _sub_sd(sd, f"{pre}.{k}"))
+                    k += 1
+                _kan_into(bp, bs, f"KanConvND_{kan_i}",
+                          _sub_sd(sd, f"{pre}.{k}"), family, model.groups)
+            params[bscope] = bp
+            if bs:
+                stats[bscope] = bs
+            b += 1
+
+    if model.classifier_type == "Linear":
+        params["Linear_0"] = _linear_params(sd, "classifier.fc")
+    elif model.classifier_type == "HiddenKAN":
+        # the b-spline kan_fc1 stack migrates via the MLP goldens path;
+        # the trailing fc2 Linear maps directly
+        params["Linear_0"] = _linear_params(sd, "classifier.fc2")
+
+    out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    for col, v in variables.items():
+        if col not in out:
+            out[col] = v
+    return out
+
+
 def convert_alexnet(sd: Mapping[str, np.ndarray], model, variables):
     """Migrate a reference AlexNetKAN state_dict (models/kan_alexnet.py:11-
     313) into convkan_tpu.models.AlexNetKAN variables (Linear or 'AlexNet'

@@ -118,6 +118,27 @@ def test_mnv3_small_migration():
     assert_close(np.asarray(y), y_ref, tol=1e-5, name="model_mnv3_small")
 
 
+def test_mnv3_small_fastkan_migration():
+    """Base-path family (FastKAN) MNv3: pins that kanconv layers use the
+    MODEL-level activation — the reference's per-block RE/HS
+    activation_layer kwarg is signature-filtered away for KAN wrappers
+    (kan_mobilenetv3.py:253-271)."""
+    from convkan_tpu.models.mobilenetv3 import mobilenet_v3_kan
+    from convkan_tpu.utils.torch_compat import convert_mobilenet_v3
+
+    x, y_ref, sd = load_golden("model_mnv3_small_fastkan")
+    model = mobilenet_v3_kan("small", num_classes=4, width_mult=0.25,
+                             kan_conv="FastKAN", classifier_type="Linear")
+    xh = nchw_to_nhwc(x)
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(jax.random.PRNGKey(0), xh.astype(np.float32))
+    variables = convert_mobilenet_v3(sd, model, variables)
+    y = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, xh)
+    assert_close(np.asarray(y), y_ref, tol=1e-5,
+                 name="model_mnv3_small_fastkan")
+
+
 def test_mnv2_kansmall_migration():
     """Whole-model MobileNetV2KAN migration (kan_mobilenetv2.py:169-433):
     inline inverted residuals (expand/project kanconvs + std depthwise),
@@ -156,3 +177,23 @@ def test_mnv1_conv_migration():
     variables = convert_mobilenet_v1(sd, model, variables)
     y = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, xh)
     assert_close(np.asarray(y), y_ref, tol=1e-5, name="model_mnv1_conv")
+
+
+def test_effv2_kantiny_migration():
+    """Whole-model EfficientNetV2 kan_tiny migration
+    (kan_efficientnetv2.py:276-505): stem/head_conv, staged Fused-MBConv +
+    MBConv blocks (expand/dw/SE/project), running stats, Linear head."""
+    from convkan_tpu.models.efficientnetv2 import efficientnetv2_kan_small
+    from convkan_tpu.utils.torch_compat import convert_efficientnetv2
+
+    x, y_ref, sd = load_golden("model_effv2_kantiny_gram")
+    model = efficientnetv2_kan_small(arch="kan_tiny", num_classes=4,
+                                     kan_conv="GRAMKAN", degree=3,
+                                     classifier_type="Linear", affine=True)
+    xh = nchw_to_nhwc(x)
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(jax.random.PRNGKey(0), xh.astype(np.float32))
+    variables = convert_efficientnetv2(sd, model, variables)
+    y = jax.jit(lambda v, xx: model.apply(v, xx, train=False))(variables, xh)
+    assert_close(np.asarray(y), y_ref, tol=1e-5, name="model_effv2_kantiny")

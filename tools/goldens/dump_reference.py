@@ -379,6 +379,20 @@ def dump_mobilenet_v3():
     torch.manual_seed(7)
     _save("model_mnv3_small_cheby", m, torch.randn(2, 3, 64, 64))
 
+    # a base-path family (FastKAN): pins that kanconv layers use the
+    # MODEL-level activation (the per-block RE/HS only reaches the std
+    # depthwise layers — kan_mobilenetv3.py:253-271)
+    torch.manual_seed(42)
+    mf = MobileNetV3KAN(arch="small", num_classes=4, width_mult=0.25,
+                        kan_conv="FastKAN",
+                        classifier_type="Linear").double().train()
+    torch.manual_seed(11)
+    with torch.no_grad():
+        for _ in range(2):
+            mf(torch.randn(2, 3, 64, 64).double())
+    torch.manual_seed(7)
+    _save("model_mnv3_small_fastkan", mf, torch.randn(2, 3, 64, 64))
+
 
 def dump_mobilenet_v1_v2():
     """Whole-model MNv1/MNv2 migration fixtures (VERDICT r2 #5)."""
@@ -412,6 +426,23 @@ def dump_mobilenet_v1_v2():
     _save("model_mnv2_kansmall_bessel", m2, torch.randn(2, 3, 32, 32))
 
 
+def dump_efficientnetv2():
+    """Whole-model EfficientNetV2 kan_tiny migration fixture."""
+    import tv_stub  # noqa: F401
+    from models.kan_efficientnetv2 import efficientnetv2_kan_small
+
+    torch.manual_seed(42)
+    m = efficientnetv2_kan_small(arch="kan_tiny", num_classes=4,
+                                 kan_conv="GRAMKAN", degree=3,
+                                 classifier_type="Linear").double().train()
+    torch.manual_seed(11)
+    with torch.no_grad():
+        for _ in range(2):
+            m(torch.randn(2, 3, 32, 32).double())
+    torch.manual_seed(7)
+    _save("model_effv2_kantiny_gram", m, torch.randn(2, 3, 32, 32))
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--rank-coverage" in sys.argv:
@@ -422,9 +453,14 @@ if __name__ == "__main__":
         dump_mobilenet_v3()
     elif "--mnv12" in sys.argv:
         dump_mobilenet_v1_v2()
+    elif "--effv2" in sys.argv:
+        dump_efficientnetv2()
     else:
         dump_conv_layers()
         dump_fastkan_norm_variants()
+        dump_mobilenet_v3()
+        dump_mobilenet_v1_v2()
+        dump_efficientnetv2()
         dump_mlp_layers()
         dump_models()
         dump_train_steps()
