@@ -239,11 +239,12 @@ def measure_fastkan_mlp(batch=1024, steps=500):
         "value": round(statistics.median(runs), 2),
         "runs": [round(r, 1) for r in runs],
         "flops_per_step": flops,
+        "batch": batch,
     }
 
 
 # ------------------------------------------------------------ config 4
-def measure_wavkan(batch=256, steps=10):
+def measure_wavkan(batch=256, steps=10, use_pallas="auto"):
     """WavKAN conv stack (mexican_hat, fast) CIFAR-100 train step
     (config 4; stack shape from wav_kan_layers.py:469-476)."""
     import flax.linen as nn
@@ -263,7 +264,7 @@ def measure_wavkan(batch=256, steps=10):
             for c in (32, 64, 128):
                 x = WavKANConv2DLayer(
                     x.shape[-1], c, 3, padding=1, wavelet_type="mexican_hat",
-                    wav_version="fast")(x, train=train)
+                    wav_version="fast", use_pallas=use_pallas)(x, train=train)
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x = adaptive_avg_pool(x, (1, 1)).reshape(x.shape[0], -1)
             return Linear(x.shape[-1], 100)(x)
@@ -310,6 +311,7 @@ def measure_wavkan(batch=256, steps=10):
         "value": round(statistics.median(runs), 2),
         "runs": [round(r, 1) for r in runs],
         "flops_per_step": flops,
+        "batch": batch,
     }
 
 
@@ -359,6 +361,7 @@ def measure_mobilenetv3_224(batch=64, steps=5):
         "value": round(statistics.median(runs), 2),
         "runs": [round(r, 1) for r in runs],
         "flops_per_step": flops,
+        "batch": batch,
     }
 
 
@@ -522,7 +525,18 @@ def main():
                         ("config4", measure_wavkan),
                         ("config5", measure_mobilenetv3_224)):
             try:
-                details[key] = fn()
+                row = fn()
+                # every row carries tflops/mfu (VERDICT r2 #2), derived
+                # from its own cost_analysis FLOPs
+                if row.get("unit") == "images/sec/chip" and "batch" in row:
+                    row.update(_mfu_fields(
+                        row["value"], row["flops_per_step"] / row["batch"],
+                        device_kind))
+                elif row.get("unit") == "us/step":
+                    row.update(_mfu_fields(
+                        1e6 / row["value"], row["flops_per_step"],
+                        device_kind))
+                details[key] = row
             except Exception as e:  # record, don't abort the headline
                 details[key] = {"error": f"{type(e).__name__}: {e}"}
         with open(os.path.join(HERE, "BENCH_DETAILS.json"), "w") as f:

@@ -142,20 +142,34 @@ def get_datasets(dataset: str, data_path: str = "./data",
     if synthetic:
         xtr, ytr = _synthetic(dataset, synthetic_size, seed=0)
         xte, yte = _synthetic(dataset, max(synthetic_size // 4, 256), seed=1)
-    elif dataset == "MNIST":
-        xtr, ytr = _load_mnist(data_path, True)
-        xte, yte = _load_mnist(data_path, False)
-    elif dataset == "SVHN":
-        xtr, ytr = _load_svhn(data_path, True)
-        xte, yte = _load_svhn(data_path, False)
-    elif dataset == "CIFAR10":
-        xtr, ytr = _load_cifar(data_path, True)
-        xte, yte = _load_cifar(data_path, False)
-    elif dataset == "CIFAR100":
-        xtr, ytr = _load_cifar(data_path, True, n100=True)
-        xte, yte = _load_cifar(data_path, False, n100=True)
-    else:
+    elif dataset not in ("MNIST", "SVHN", "CIFAR10", "CIFAR100"):
         raise ValueError(dataset)
+    else:
+        try:
+            if dataset == "MNIST":
+                xtr, ytr = _load_mnist(data_path, True)
+                xte, yte = _load_mnist(data_path, False)
+            elif dataset == "SVHN":
+                xtr, ytr = _load_svhn(data_path, True)
+                xte, yte = _load_svhn(data_path, False)
+            elif dataset == "CIFAR10":
+                xtr, ytr = _load_cifar(data_path, True)
+                xte, yte = _load_cifar(data_path, False)
+            else:
+                xtr, ytr = _load_cifar(data_path, True, n100=True)
+                xte, yte = _load_cifar(data_path, False, n100=True)
+        except FileNotFoundError as e:
+            # the exact offline contract (reference downloads implicitly
+            # via torchvision; here acquisition is a documented opt-in)
+            raise FileNotFoundError(
+                f"{e}\n\n{dataset} raw files not found under "
+                f"'{data_path}'.  Fetch them once with\n"
+                f"    python -m convkan_tpu.train.download {dataset} "
+                f"--data_path {data_path}\n"
+                "(or copy them from another machine — see that module's "
+                "docstring for the exact file layout), or pass "
+                "--synthetic_data for a smoke run without real data."
+            ) from e
     if dataset == "CIFAR10":
         classes = CIFAR10_CLASSES
     elif dataset == "CIFAR100":

@@ -52,9 +52,37 @@ def save_pretrained(model, variables, path: str):
     return path
 
 
-def from_pretrained(path: str) -> Tuple[Any, Any]:
-    """Rebuild the model from config.json and restore its variables."""
+def push_to_hub(model, variables, repo_id: str, *, private: bool = False,
+                token: str = None, commit_message: str = "Upload convkan_tpu model"):
+    """PyTorchModelHubMixin.push_to_hub equivalent (kan_vgg.py:190):
+    save_pretrained into a temp dir and upload it to the Hugging Face Hub.
+    Requires network egress + a write token."""
+    import tempfile
+
+    from huggingface_hub import HfApi
+
+    api = HfApi(token=token)
+    api.create_repo(repo_id, private=private, exist_ok=True)
+    with tempfile.TemporaryDirectory() as td:
+        save_pretrained(model, variables, td)
+        return api.upload_folder(repo_id=repo_id, folder_path=td,
+                                 commit_message=commit_message)
+
+
+def from_pretrained(path: str, *, revision: str = None,
+                    token: str = None) -> Tuple[Any, Any]:
+    """Rebuild the model from config.json and restore its variables.
+
+    `path` may be a local save_pretrained directory OR a Hugging Face Hub
+    repo id (PyTorchModelHubMixin.from_pretrained parity) — hub repos are
+    snapshot-downloaded into the local cache first."""
     from .. import models as model_zoo
+
+    if not os.path.isdir(path):
+        from huggingface_hub import snapshot_download
+
+        path = snapshot_download(repo_id=path, revision=revision,
+                                 token=token)
 
     with open(os.path.join(path, "config.json")) as f:
         meta = json.load(f)

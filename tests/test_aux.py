@@ -5,6 +5,7 @@ metrics vs sklearn-style formulas, step timer."""
 import gzip
 import os
 import pickle
+import shutil
 
 import jax
 import jax.numpy as jnp
@@ -472,3 +473,78 @@ def test_smoothness_penalty_gradient_flow():
     assert np.isfinite(float(val))
     assert float(jnp.max(jnp.abs(g))) > 0
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_hub_network_paths_mocked(tmp_path, monkeypatch):
+    """push_to_hub / hub-id from_pretrained (PyTorchModelHubMixin parity,
+    kan_vgg.py:190): the upload ships a save_pretrained layout; a repo id
+    resolves through snapshot_download onto the local loader.  Network is
+    mocked (zero-egress host)."""
+    from unittest import mock
+
+    import huggingface_hub
+
+    from convkan_tpu.utils import hub as hub_lib
+
+    m = vggkan(3, 4, arch="VGG16_kansmall", kan_conv="ChebyKAN",
+               classifier_type="Linear", width_scale=0.25)
+    x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+    v = jax.jit(lambda r: m.init({"params": r}, x, train=False))(
+        jax.random.PRNGKey(0))
+
+    uploaded = {}
+
+    class FakeApi:
+        def __init__(self, token=None):
+            pass
+
+        def create_repo(self, repo_id, private=False, exist_ok=True):
+            uploaded["repo"] = repo_id
+
+        def upload_folder(self, repo_id, folder_path, commit_message):
+            # capture the exact folder contents push would ship
+            assert (os.path.isfile(os.path.join(folder_path, "config.json"))
+                    ), os.listdir(folder_path)
+            dest = tmp_path / "hub_repo"
+            shutil.copytree(folder_path, dest)
+            uploaded["path"] = str(dest)
+            return f"https://huggingface.co/{repo_id}"
+
+    with mock.patch("huggingface_hub.HfApi", FakeApi):
+        url = hub_lib.push_to_hub(m, v, "someone/convkan-test")
+    assert uploaded["repo"] == "someone/convkan-test"
+    assert url.endswith("someone/convkan-test")
+
+    # a repo id (not a local dir) resolves via snapshot_download
+    with mock.patch.object(huggingface_hub, "snapshot_download",
+                           return_value=uploaded["path"]) as sd:
+        m2, v2 = hub_lib.from_pretrained("someone/convkan-test")
+    assert sd.called
+    y0 = m.apply(v, x, train=False)
+    y1 = m2.apply(v2, x, train=False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+
+
+def test_missing_dataset_error_contract(tmp_path):
+    """A missing-data error states the exact acquisition step (VERDICT r2
+    #9: the clone-to-real-training contract)."""
+    with pytest.raises(FileNotFoundError,
+                       match="convkan_tpu.train.download CIFAR10"):
+        get_datasets("CIFAR10", data_path=str(tmp_path))
+    with pytest.raises(FileNotFoundError, match="synthetic_data"):
+        get_datasets("MNIST", data_path=str(tmp_path))
+
+
+def test_downloader_offline_error(tmp_path, monkeypatch):
+    """Zero-egress failure mode: the downloader says what to fetch where
+    instead of a bare URLError."""
+    import urllib.request
+
+    from convkan_tpu.train import download as dl
+
+    def boom(url, dest):
+        raise OSError("no route to host")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", boom)
+    with pytest.raises(OSError, match="place it at"):
+        dl.download("SVHN", str(tmp_path), quiet=True)
