@@ -39,7 +39,8 @@ def test_alexnet_small():
     _run(m, hw=67)
 
 
-@pytest.mark.slow
+# deliberately NOT slow-marked: one cheap model-zoo forward stays in the
+# default suite so zoo regressions can't land silently (ADVICE r2)
 def test_mobilenet_v1():
     m = mobilenet_v1_kan(10, input_channels=3, width_mult=0.25,
                          kan_conv="ChebyKAN", classifier_type="KAN")
