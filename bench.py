@@ -506,6 +506,14 @@ def get_baseline() -> float:
 def main():
     import jax
 
+    # persistent compile cache: the remote-TPU compiles here run minutes
+    # under contention; repeat bench invocations on the same host reuse
+    # the artifacts (same mechanism as tests/conftest.py on CPU)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/convkan_jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     device_kind = jax.devices()[0].device_kind
     if "--serving" in sys.argv:
         out = measure_serving()

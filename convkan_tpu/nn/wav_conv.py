@@ -49,6 +49,11 @@ class WavKANConvND(nn.Module):
     norm_layer: Any = BatchNorm
     norm_kwargs: Mapping[str, Any] = dataclasses.field(default_factory=dict)
     param_dtype: Any = jnp.float32
+    # False | 'auto' | True — 'auto' engages the fused Pallas psi-conv on
+    # its supported surface (2D/stride-1/groups-1), measured faster than
+    # the XLA path on TPU (KERNELS.md round 3); True forces, False never.
+    use_pallas: Any = "auto"
+    pallas_interpret: bool = False
 
     @property
     def in_g(self):
@@ -57,6 +62,41 @@ class WavKANConvND(nn.Module):
     @property
     def out_g(self):
         return self.output_dim // self.groups
+
+    def _maybe_fused_psi_conv(self, x, wav_w, translation, scale, kshape):
+        """Fused Pallas psi-conv (kernels/fused_wav_conv.py), or None for
+        the XLA psi-materialization path."""
+        if not self.use_pallas:
+            return None
+        if self.use_pallas == "auto" and not self.pallas_interpret:
+            # 'auto' engages only where Mosaic can lower (the CPU test
+            # mesh / dryrun run the XLA path; use_pallas=True + interpret
+            # forces the kernel in tests)
+            import jax
+
+            if jax.devices()[0].platform not in ("tpu", "axon"):
+                return None
+        from ..kernels import fused_wav_conv as fwc
+
+        pad = self.padding
+        if isinstance(pad, (tuple, list)):
+            if len(set(pad)) != 1:
+                return None
+            pad = pad[0]
+        if self.ndim != 2 or x.dtype != jnp.float32:
+            return None
+        B, H, W = x.shape[0], x.shape[1], x.shape[2]
+        if not fwc.supported(self.ndim, self.stride, self.dilation,
+                             self.groups, self.wavelet_type, B, H, W,
+                             self.input_dim, self.output_dim,
+                             kshape[0], kshape[-1], pad, pad):
+            return None
+        return fwc.fused_wav_conv2d(
+            x, wav_w,
+            translation.reshape(self.output_dim, self.input_dim),
+            scale.reshape(self.output_dim, self.input_dim),
+            wavelet_type=self.wavelet_type, padding=pad,
+            interpret=self.pallas_interpret)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -95,17 +135,6 @@ class WavKANConvND(nn.Module):
         translation = self.param("translation", init_lib.zeros, st_shape,
                                  self.param_dtype)
 
-        B = x.shape[0]
-        spatial_shape = x.shape[1:-1]
-        # (B, *S, G, 1, in_g) - broadcast against (G, out_g, in_g)
-        xg = x.reshape((B,) + spatial_shape + (self.groups, 1, self.in_g))
-        x_scaled = (xg - translation) / scale  # (B, *S, G, out_g, in_g)
-        # channel axis (for shannon's hamming window) is the in_g axis
-        psi = wavelet(x_scaled, self.wavelet_type, channel_axis=x_scaled.ndim - 1)
-
-        flat = psi.reshape(
-            (B,) + spatial_shape + (self.groups * self.out_g * self.in_g,)
-        )
         # per-(o, i) spatial kernels == grouped conv with G*out_g groups
         wav_w = self.param(
             "wavelet_w",
@@ -113,11 +142,28 @@ class WavKANConvND(nn.Module):
             kshape + (self.in_g, self.groups * self.out_g),
             self.param_dtype,
         )
-        y = conv_nd(
-            flat, wav_w, ndim=self.ndim, stride=self.stride,
-            padding=self.padding, dilation=self.dilation,
-            groups=self.groups * self.out_g,
-        )
+
+        y = self._maybe_fused_psi_conv(x, wav_w, translation, scale, kshape)
+        if y is None:
+            B = x.shape[0]
+            spatial_shape = x.shape[1:-1]
+            # (B, *S, G, 1, in_g) - broadcast against (G, out_g, in_g)
+            xg = x.reshape(
+                (B,) + spatial_shape + (self.groups, 1, self.in_g))
+            x_scaled = (xg - translation) / scale  # (B, *S, G, out_g, in_g)
+            # channel axis (for shannon's hamming window) is the in_g axis
+            psi = wavelet(x_scaled, self.wavelet_type,
+                          channel_axis=x_scaled.ndim - 1)
+
+            flat = psi.reshape(
+                (B,) + spatial_shape
+                + (self.groups * self.out_g * self.in_g,)
+            )
+            y = conv_nd(
+                flat, wav_w, ndim=self.ndim, stride=self.stride,
+                padding=self.padding, dilation=self.dilation,
+                groups=self.groups * self.out_g,
+            )
         # 1x1 output mix per group (wavelet_out, :139/:311)
         mix_w = self.param(
             "wavelet_out_w",

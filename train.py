@@ -239,6 +239,13 @@ def main(argv=None):
 
     import jax
 
+    # persistent compile cache (remote-TPU compiles run minutes under
+    # contention; re-runs on this host reuse the artifacts)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/convkan_jax_tpu_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from convkan_tpu.parallel.mesh import make_mesh
     from convkan_tpu.train.data import get_datasets
     from convkan_tpu.train.loop import train_model_generic, write_results_csv
