@@ -618,37 +618,32 @@ class KanConvND(nn.Module):
         y = spline_out if base_out is None else base_out + spline_out
         return self._post_combine(y, act, train)
 
-    def _halo_eligible(self, w, kw) -> bool:
-        def _one(v):
-            return v == 1 or (isinstance(v, (tuple, list))
-                              and all(s == 1 for s in v))
-
+    def _halo_eligible(self, x, w, kw) -> bool:
         if self.spatial_mesh is None or kw["ndim"] != 2:
             return False
-        if not (_one(kw["stride"]) and _one(kw["dilation"])):
+        from ..parallel.halo import halo_supported
+
+        kh = w.shape[0]
+        if kh < 3:
+            # k=1 needs no halo (GSPMD handles pointwise convs on sharded H)
             return False
-        if kw["groups"] != 1:
-            return False
-        kh, kw_ = w.shape[0], w.shape[1]
-        pad = kw["padding"]
-        if isinstance(pad, (tuple, list)):
-            if len(set(pad)) != 1:
-                return False
-            pad = pad[0]
-        # k=1 needs no halo (GSPMD handles pointwise convs on sharded H)
-        return kh == kw_ and kh >= 3 and kh % 2 == 1 and pad == kh // 2
+        return halo_supported(self.spatial_mesh, self.spatial_axis,
+                              x.shape[1], kh, kw["stride"], kw["dilation"],
+                              kw["padding"])
 
     def _conv(self, x, w, conv_kwargs):
         """Plain conv, or halo-exchange conv with H sharded over
-        `spatial_axis` when spatially sharded and eligible."""
-        if self._halo_eligible(w, conv_kwargs):
+        `spatial_axis` when spatially sharded and eligible (stride /
+        groups / dilation supported — parallel/halo.py)."""
+        if self._halo_eligible(x, w, conv_kwargs):
             from ..parallel.halo import halo_conv2d
 
-            pad = conv_kwargs["padding"]
-            if isinstance(pad, (tuple, list)):
-                pad = pad[0]
-            return halo_conv2d(self.spatial_mesh, self.spatial_axis, x, w,
-                               padding=int(pad))
+            return halo_conv2d(
+                self.spatial_mesh, self.spatial_axis, x, w,
+                stride=conv_kwargs["stride"],
+                padding=conv_kwargs["padding"],
+                dilation=conv_kwargs["dilation"],
+                groups=conv_kwargs["groups"])
         return conv_nd(x, w, **conv_kwargs)
 
     def _post_combine(self, y, act, train):
