@@ -316,9 +316,13 @@ def measure_wavkan(batch=256, steps=10, use_pallas="auto"):
 
 
 # ------------------------------------------------------------ config 5
-def measure_mobilenetv3_224(batch=64, steps=5):
+def measure_mobilenetv3_224(batch=256, steps=5):
     """KAN-MobileNetV3 small @224^2 train step (config 5, single chip —
-    the dp-mesh variant is exercised by __graft_entry__.dryrun_multichip)."""
+    the dp-mesh variant is exercised by __graft_entry__.dryrun_multichip).
+
+    The round-2 row (2.58k img/s) was batch-starved.  Measured on v5e:
+    batch 128 no-remat 4.81k, batch 256 REMAT 4.83k, batch 256 no-remat
+    **5.25k** (fits HBM; 2.04x round 2) — see BENCH_NOTES.md."""
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -180,9 +180,9 @@ class MobileNetV3KAN(nn.Module):
     replace_depthwise: bool = False
     conv_dropout: float = 0.0
     # rematerialize blocks under autodiff.  Off by default: measured on
-    # v5e, KAN-MNv3-small @224^2 batch 64 trains fine without remat and
-    # runs 23% faster (27.2 vs 33.3 ms/step); enable for batch/resolution
-    # combinations that overflow HBM.
+    # v5e, KAN-MNv3-small @224^2 fits HBM without remat through batch 256
+    # (5.25k img/s there vs 4.83k with remat — recompute costs ~8%);
+    # enable only for batch/resolution products that overflow HBM.
     remat: bool = False
     classifier_overrides: Mapping[str, Any] = dataclasses.field(
         default_factory=dict)

@@ -186,6 +186,10 @@ class KanConvND(nn.Module):
     # to False), or True (force the kernels; tests use pallas_interpret)
     use_pallas: Any = False
     pallas_interpret: bool = False
+    # opt-in: materialize the basis tensor in bf16 (halves the step's
+    # dominant HBM traffic; MXU consumes bf16 natively with f32
+    # accumulation).  Off by default — not torch-bit-exact.
+    basis_bf16: bool = False
     # spatial sharding: set a Mesh (+ axis name) to run both convs with the
     # batch-height plane sharded over that axis via halo exchange
     # (parallel/halo.py) — stride-1/'same'/groups-1 2D configs only; other
@@ -584,7 +588,16 @@ class KanConvND(nn.Module):
                 # is the shallowest pass in the whole net)
                 flat_dm = jnp.concatenate([flat_dm, base_in], axis=-1)
                 pw = jnp.concatenate([pw, base_w], axis=-2)
+            if self.basis_bf16 and flat_dm.dtype == jnp.float32:
+                # opt-in perf mode: store the materialized basis tensor
+                # (the step's dominant HBM traffic) in bf16; the MXU
+                # consumes bf16 natively and accumulates f32.  NOT
+                # torch-bit-exact — off by default, see BENCH_NOTES.md.
+                flat_dm = flat_dm.astype(jnp.bfloat16)
+                pw = pw.astype(jnp.bfloat16)
             y = self._conv(flat_dm, pw, conv_kwargs)
+            if y.dtype != x.dtype:
+                y = y.astype(x.dtype)
             return self._post_combine(y, act, train)
 
         base_out = None
