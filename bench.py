@@ -91,7 +91,7 @@ def _mfu_fields(ips: float, flops_per_item: float, device_kind: str):
 
 
 # ------------------------------------------------------------ config 3
-def measure_vgg_train(batch=BATCH, steps=STEPS):
+def measure_vgg_train(batch=BATCH, steps=STEPS, bf16_basis=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -100,6 +100,13 @@ def measure_vgg_train(batch=BATCH, steps=STEPS):
     from convkan_tpu.train.loop import make_train_step
     from convkan_tpu.train.state import create_train_state
 
+    from convkan_tpu.nn.kan_conv import KanConvND
+
+    if bf16_basis:
+        # bench-local default override (flax module defaults are class
+        # attributes); the --bf16_basis variant row is explicitly NOT
+        # torch-bit-exact — see BENCH_NOTES.md
+        KanConvND.basis_bf16 = True
     model = vggkan(3, 10, arch=ARCH, kan_conv="KAN", classifier_type="Linear")
     x0 = jnp.zeros((batch, 32, 32, 3), jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(0), x0,
@@ -524,7 +531,9 @@ def main():
         out["device_kind"] = device_kind
         print(json.dumps(out))
         return
-    head = measure_vgg_train()
+    head = measure_vgg_train(bf16_basis="--bf16_basis" in sys.argv)
+    if "--bf16_basis" in sys.argv:
+        head["metric"] += "_bf16basis"
     head.update(_mfu_fields(head["value"],
                             head["flops_per_step"] / head["batch"],
                             device_kind))
