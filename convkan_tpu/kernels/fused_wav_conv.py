@@ -159,6 +159,17 @@ def _pad128(n):
     return -(-n // 128) * 128
 
 
+def _lane_pack(n_lanes: int, n_rows: int) -> int:
+    """How many `n_lanes`-wide row-slices to pack side by side so a tile
+    fills the 128 VPU lanes (must also divide the row count)."""
+    if n_lanes >= 128 or 128 % n_lanes:
+        return 1
+    p = 128 // n_lanes
+    while p > 1 and n_rows % p:
+        p //= 2
+    return max(p, 1)
+
+
 def _pick_batch_block(B, Hp, Wp, Cin, O, kh, kw):
     """Largest divisor of B whose forward/backward working sets fit the
     16 MiB scoped-VMEM stack.  Sizes use Mosaic's PHYSICAL tiling — the
@@ -222,10 +233,16 @@ def _mask_padded(a, ph, pw):
 
 
 def _fwd_kernel(xt_ref, wf_ref, t_ref, sinv_ref, y_ref, *, psi_fn,
-                kh, kw, Ho, Wo, ph, pw):
+                kh, kw, Ho, Wo, ph, pw, O, pack):
+    """One grid step handles `pack` input channels side by side in the
+    lane dim ([i0's O lanes | i1's O lanes | ...]) so O < 128 layers still
+    fill the VPU; the caller folds the pack segments of y afterwards."""
     i = pl.program_id(1)
-    xi = xt_ref[0]                                   # (Bb, Hp, Wp)
-    z = (xi[..., None] - t_ref[0, 0, :]) * sinv_ref[0, 0, :]  # (Bb,Hp,Wp,O)
+    Bb, Hp, Wp = xt_ref.shape[1], xt_ref.shape[2], xt_ref.shape[3]
+    parts = [jnp.broadcast_to(xt_ref[j][..., None], (Bb, Hp, Wp, O))
+             for j in range(pack)]
+    xw = parts[0] if pack == 1 else jnp.concatenate(parts, axis=-1)
+    z = (xw - t_ref[0, 0, :]) * sinv_ref[0, 0, :]    # (Bb,Hp,Wp,pack*O)
     psi = _mask_padded(psi_fn(z), ph, pw)
     partial = psi[:, 0:Ho, 0:Wo, :] * wf_ref[0, 0, :]
     for dh in range(kh):
@@ -246,22 +263,29 @@ def _fwd_kernel(xt_ref, wf_ref, t_ref, sinv_ref, y_ref, *, psi_fn,
 
 def _bwd_kernel(xp_ref, gt_ref, wr_ref, t_ref, sinv_ref,
                 dx_ref, dwb_ref, dtb_ref, dsb_ref, *, psi_fn, dpsi_fn,
-                kh, kw, Ho, Wo, ph, pw):
+                kh, kw, Ho, Wo, ph, pw, Cin, pack):
+    """One grid step handles `pack` output channels side by side in the
+    lane dim ([o0's Cin lanes | o1's Cin lanes | ...]); dx folds the pack
+    segments in-kernel, dw/dt/ds rows are unpacked by the caller."""
     o = pl.program_id(1)
     x = xp_ref[:]                                    # (Bb, Hp, Wp, Cin)
     Hp, Wp = x.shape[1], x.shape[2]
-    sinv = sinv_ref[0, 0, :]
-    z = (x - t_ref[0, 0, :]) * sinv
+    xw = x if pack == 1 else jnp.concatenate([x] * pack, axis=-1)
+    sinv = sinv_ref[0, 0, :]                         # (pack*Cin,)
+    z = (xw - t_ref[0, 0, :]) * sinv
     psi = _mask_padded(psi_fn(z), ph, pw)
     dpsi = _mask_padded(dpsi_fn(z), ph, pw)
 
-    go = gt_ref[0][..., None]                        # (Bb, Hg, Wg, 1)
+    Bb, Hg, Wg = gt_ref.shape[1], gt_ref.shape[2], gt_ref.shape[3]
+    gparts = [jnp.broadcast_to(gt_ref[j][..., None], (Bb, Hg, Wg, Cin))
+              for j in range(pack)]
+    go = gparts[0] if pack == 1 else jnp.concatenate(gparts, axis=-1)
     gc = go[:, kh - 1:kh - 1 + Ho, kw - 1:kw - 1 + Wo, :]
 
     G = None
     for dh in range(kh):
         for dw in range(kw):
-            w_vec = wr_ref[0, dh * kw + dw, :]       # (Cin,)
+            w_vec = wr_ref[0, dh * kw + dw, :]       # (pack*Cin,)
             # full correlation: dx_pad[q] gets g[q - dk] * w[dk]
             g_sl = go[:, kh - 1 - dh:kh - 1 - dh + Hp,
                       kw - 1 - dw:kw - 1 - dw + Wp, :]
@@ -271,8 +295,10 @@ def _bwd_kernel(xp_ref, gt_ref, wr_ref, t_ref, sinv_ref,
             dwb_ref[0, 0, dh * kw + dw, :] = jnp.sum(
                 gc * psi[:, dh:dh + Ho, dw:dw + Wo, :], axis=(0, 1, 2))
 
-    prod = dpsi * G                                  # (Bb, Hp, Wp, Cin)
-    dx_contrib = prod * sinv
+    prod = dpsi * G                                  # (Bb,Hp,Wp,pack*Cin)
+    dxw = prod * sinv
+    dx_contrib = dxw if pack == 1 else sum(
+        dxw[..., j * Cin:(j + 1) * Cin] for j in range(pack))
 
     @pl.when(o == 0)
     def _():
@@ -298,36 +324,49 @@ def _get_op(wavelet_type: str, kh: int, kw: int, ph: int, pw: int,
         Hp, Wp = H + 2 * ph, W + 2 * pw
         Ho, Wo = Hp - kh + 1, Wp - kw + 1
         Bb = _pick_batch_block(B, Hp, Wp, Cin, O, kh, kw)
+        pack = _lane_pack(O, Cin)
         x_pad = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
         x_t = jnp.transpose(x_pad, (3, 0, 1, 2))        # (Cin, B, Hp, Wp)
-        wf = jnp.transpose(w, (2, 0, 1, 3)).reshape(Cin, kh * kw, O)
-        # (Cin, 1, O): Mosaic requires the last-two block dims to divide
-        # (8, 128) or equal the array dims — a (1, O) row block over
-        # (Cin, O) violates that, a (1, 1, O) block over (Cin, 1, O) is ok
-        tT = jnp.transpose(t)[:, None, :]
-        sinvT = jnp.transpose(sinv)[:, None, :]
+        # pack `pack` consecutive input channels into the lane dim:
+        # row i2 of each packed array covers channels [i2*pack, ...)
+        wf = jnp.transpose(w, (2, 0, 1, 3))             # (Cin, k2_h, k2_w, O)
+        wf = wf.reshape(Cin // pack, pack, kh * kw, O)
+        wf = jnp.transpose(wf, (0, 2, 1, 3)).reshape(
+            Cin // pack, kh * kw, pack * O)
+        # (rows, 1, pack*O): Mosaic requires the last-two block dims to
+        # divide (8, 128) or equal the array dims — a (1, L) row block
+        # over (rows, L) violates that, (1, 1, L) over (rows, 1, L) is ok
+        tT = jnp.transpose(t).reshape(Cin // pack, pack * O)[:, None, :]
+        sinvT = jnp.transpose(sinv).reshape(
+            Cin // pack, pack * O)[:, None, :]
 
         kern = functools.partial(_fwd_kernel, psi_fn=psi_fn, kh=kh, kw=kw,
-                                 Ho=Ho, Wo=Wo, ph=ph, pw=pw)
-        return pl.pallas_call(
+                                 Ho=Ho, Wo=Wo, ph=ph, pw=pw, O=O,
+                                 pack=pack)
+        y_wide = pl.pallas_call(
             kern,
-            grid=(B // Bb, Cin),
+            grid=(B // Bb, Cin // pack),
             in_specs=[
-                pl.BlockSpec((1, Bb, Hp, Wp), lambda b, i: (i, b, 0, 0),
+                pl.BlockSpec((pack, Bb, Hp, Wp),
+                             lambda b, i: (i, b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kh * kw, O), lambda b, i: (i, 0, 0),
+                pl.BlockSpec((1, kh * kw, pack * O),
+                             lambda b, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, O), lambda b, i: (i, 0, 0),
+                pl.BlockSpec((1, 1, pack * O), lambda b, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, O), lambda b, i: (i, 0, 0),
+                pl.BlockSpec((1, 1, pack * O), lambda b, i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((Bb, Ho, Wo, O),
+            out_specs=pl.BlockSpec((Bb, Ho, Wo, pack * O),
                                    lambda b, i: (b, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, O), x.dtype),
+            out_shape=jax.ShapeDtypeStruct((B, Ho, Wo, pack * O), x.dtype),
             interpret=interpret,
         )(x_t, wf, tT, sinvT)
+        if pack == 1:
+            return y_wide
+        return sum(y_wide[..., j * O:(j + 1) * O] for j in range(pack))
 
     def _bwd_impl(x, w, t, sinv, g):
         B, H, W, Cin = x.shape
@@ -337,58 +376,71 @@ def _get_op(wavelet_type: str, kh: int, kw: int, ph: int, pw: int,
         Bb = _pick_batch_block(B, Hp, Wp, Cin, O, kh, kw)
         nb = B // Bb
         Hg, Wg = Hp + kh - 1, Wp + kw - 1
+        pack = _lane_pack(Cin, O)
+        no = O // pack
 
         x_pad = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
         g_pad = jnp.pad(g, ((0, 0), (kh - 1, kh - 1), (kw - 1, kw - 1),
                             (0, 0)))
         g_t = jnp.transpose(g_pad, (3, 0, 1, 2))        # (O, B, Hg, Wg)
+        # pack `pack` consecutive output channels into the lane dim
         wr = jnp.transpose(w, (3, 0, 1, 2)).reshape(O, kh * kw, Cin)
+        wr = jnp.transpose(wr.reshape(no, pack, kh * kw, Cin),
+                           (0, 2, 1, 3)).reshape(no, kh * kw, pack * Cin)
+        t3 = t.reshape(no, pack * Cin)[:, None, :]
+        sinv3 = sinv.reshape(no, pack * Cin)[:, None, :]
 
-        t3 = t[:, None, :]                              # (O, 1, Cin)
-        sinv3 = sinv[:, None, :]
         kern = functools.partial(_bwd_kernel, psi_fn=psi_fn,
                                  dpsi_fn=dpsi_fn, kh=kh, kw=kw, Ho=Ho,
-                                 Wo=Wo, ph=ph, pw=pw)
+                                 Wo=Wo, ph=ph, pw=pw, Cin=Cin, pack=pack)
         dx_pad, dwb, dtb, dsb = pl.pallas_call(
             kern,
-            grid=(nb, O),
+            grid=(nb, no),
             in_specs=[
                 pl.BlockSpec((Bb, Hp, Wp, Cin), lambda b, o: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, Bb, Hg, Wg), lambda b, o: (o, b, 0, 0),
+                pl.BlockSpec((pack, Bb, Hg, Wg),
+                             lambda b, o: (o, b, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, kh * kw, Cin), lambda b, o: (o, 0, 0),
+                pl.BlockSpec((1, kh * kw, pack * Cin),
+                             lambda b, o: (o, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, Cin), lambda b, o: (o, 0, 0),
+                pl.BlockSpec((1, 1, pack * Cin), lambda b, o: (o, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, Cin), lambda b, o: (o, 0, 0),
+                pl.BlockSpec((1, 1, pack * Cin), lambda b, o: (o, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=(
                 pl.BlockSpec((Bb, Hp, Wp, Cin), lambda b, o: (b, 0, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, kh * kw, Cin),
+                pl.BlockSpec((1, 1, kh * kw, pack * Cin),
                              lambda b, o: (b, o, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, Cin), lambda b, o: (b, o, 0, 0),
+                pl.BlockSpec((1, 1, 1, pack * Cin),
+                             lambda b, o: (b, o, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, Cin), lambda b, o: (b, o, 0, 0),
+                pl.BlockSpec((1, 1, 1, pack * Cin),
+                             lambda b, o: (b, o, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((B, Hp, Wp, Cin), x.dtype),
-                jax.ShapeDtypeStruct((nb, O, kh * kw, Cin), x.dtype),
-                jax.ShapeDtypeStruct((nb, O, 1, Cin), x.dtype),
-                jax.ShapeDtypeStruct((nb, O, 1, Cin), x.dtype),
+                jax.ShapeDtypeStruct((nb, no, kh * kw, pack * Cin),
+                                     x.dtype),
+                jax.ShapeDtypeStruct((nb, no, 1, pack * Cin), x.dtype),
+                jax.ShapeDtypeStruct((nb, no, 1, pack * Cin), x.dtype),
             ),
             interpret=interpret,
         )(x_pad, g_t, wr, t3, sinv3)
 
         dx = dx_pad[:, ph:ph + H, pw:pw + W, :]
-        dw = jnp.transpose(
-            jnp.sum(dwb, axis=0).reshape(O, kh, kw, Cin), (1, 2, 3, 0))
-        dt = jnp.sum(dtb, axis=0)[:, 0, :]
-        ds = jnp.sum(dsb, axis=0)[:, 0, :]
+        # unpack the lane-packed rows: (no, k2, pack, Cin) -> (O, k2, Cin)
+        dwb = jnp.transpose(
+            jnp.sum(dwb, axis=0).reshape(no, kh * kw, pack, Cin),
+            (0, 2, 1, 3)).reshape(O, kh * kw, Cin)
+        dw = jnp.transpose(dwb.reshape(O, kh, kw, Cin), (1, 2, 3, 0))
+        dt = jnp.sum(dtb, axis=0).reshape(O, Cin)
+        ds = jnp.sum(dsb, axis=0).reshape(O, Cin)
         return dx, dw, dt, ds
 
     @jax.custom_vjp

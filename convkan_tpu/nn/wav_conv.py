@@ -49,9 +49,12 @@ class WavKANConvND(nn.Module):
     norm_layer: Any = BatchNorm
     norm_kwargs: Mapping[str, Any] = dataclasses.field(default_factory=dict)
     param_dtype: Any = jnp.float32
-    # False | 'auto' | True — 'auto' engages the fused Pallas psi-conv on
-    # its supported surface (2D/stride-1/groups-1), measured faster than
-    # the XLA path on TPU (KERNELS.md round 3); True forces, False never.
+    # False | 'auto' | True — 'auto' means "the measured-fastest path",
+    # which is the XLA path on every tested config (fused kernels reach
+    # 8.2k vs XLA's 14.5k img/s on config 4 even lane-packed — the
+    # wavelet's per-value arithmetic is ~20x a B-spline's, so VMEM
+    # recompute loses to HBM materialization; KERNELS.md round 3).
+    # True still forces the kernels (parity-tested).
     use_pallas: Any = "auto"
     pallas_interpret: bool = False
 
@@ -68,14 +71,11 @@ class WavKANConvND(nn.Module):
         the XLA psi-materialization path."""
         if not self.use_pallas:
             return None
-        if self.use_pallas == "auto" and not self.pallas_interpret:
-            # 'auto' engages only where Mosaic can lower (the CPU test
-            # mesh / dryrun run the XLA path; use_pallas=True + interpret
-            # forces the kernel in tests)
-            import jax
-
-            if jax.devices()[0].platform not in ("tpu", "axon"):
-                return None
+        if self.use_pallas == "auto":
+            # 'auto' = measured-fastest = the XLA path on every tested
+            # config (KERNELS.md round 3); use_pallas=True still forces
+            # the kernels (tests, future hardware)
+            return None
         from ..kernels import fused_wav_conv as fwc
 
         pad = self.padding
@@ -147,7 +147,11 @@ class WavKANConvND(nn.Module):
         if y is None:
             B = x.shape[0]
             spatial_shape = x.shape[1:-1]
-            # (B, *S, G, 1, in_g) - broadcast against (G, out_g, in_g)
+            # (B, *S, G, 1, in_g) - broadcast against (G, out_g, in_g).
+            # NOTE a per-(g,o) lane-concat rebuild (the round-2
+            # degree-major trick) was measured SLOWER here (12.1k vs
+            # 14.4k img/s on config 4): XLA fuses this broadcast form
+            # better than 64 explicit slices — see KERNELS.md round 3.
             xg = x.reshape(
                 (B,) + spatial_shape + (self.groups, 1, self.in_g))
             x_scaled = (xg - translation) / scale  # (B, *S, G, out_g, in_g)
