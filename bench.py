@@ -91,7 +91,8 @@ def _mfu_fields(ips: float, flops_per_item: float, device_kind: str):
 
 
 # ------------------------------------------------------------ config 3
-def measure_vgg_train(batch=BATCH, steps=STEPS, bf16_basis=False):
+def measure_vgg_train(batch=BATCH, steps=STEPS, bf16_basis=False,
+                      stack_basis=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -107,6 +108,15 @@ def measure_vgg_train(batch=BATCH, steps=STEPS, bf16_basis=False):
         # attributes); the --bf16_basis variant row is explicitly NOT
         # torch-bit-exact — see BENCH_NOTES.md
         KanConvND.basis_bf16 = True
+    if stack_basis:
+        # basis assembly A/B variants (see KanConvND.basis_build):
+        # 'stack' is bit-identical; 'bcast' is the single-operand
+        # broadcast form (f32-roundoff-equal for the kan family)
+        KanConvND.basis_build = stack_basis
+    if "--island_bf16" in sys.argv:
+        # native-bf16 basis+contraction island (wide cotangents stay
+        # bf16 in HBM) — see KanConvND.island_bf16
+        KanConvND.island_bf16 = True
     model = vggkan(3, 10, arch=ARCH, kan_conv="KAN", classifier_type="Linear")
     x0 = jnp.zeros((batch, 32, 32, 3), jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(0), x0,
@@ -531,9 +541,16 @@ def main():
         out["device_kind"] = device_kind
         print(json.dumps(out))
         return
-    head = measure_vgg_train(bf16_basis="--bf16_basis" in sys.argv)
+    _build = ("stack" if "--stack_basis" in sys.argv
+              else "bcast" if "--bcast_basis" in sys.argv else None)
+    head = measure_vgg_train(bf16_basis="--bf16_basis" in sys.argv,
+                             stack_basis=_build)
     if "--bf16_basis" in sys.argv:
         head["metric"] += "_bf16basis"
+    if "--island_bf16" in sys.argv:
+        head["metric"] += "_islandbf16"
+    if _build:
+        head["metric"] += f"_{_build}basis"
     head.update(_mfu_fields(head["value"],
                             head["flops_per_step"] / head["batch"],
                             device_kind))

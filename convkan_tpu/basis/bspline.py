@@ -88,6 +88,9 @@ def bspline_basis_unrolled_list(x, knots, spline_order: int):
         for i in range(len(bases) - 1):
             dr = float(g32[i + k] - g32[i]) or 1.0
             dd = float(g32[i + k + 1] - g32[i + 1]) or 1.0
+            # (multiply-by-reciprocal instead of the divide was measured
+            # a wash on the headline step — 49.46k vs 49.50k img/s — so
+            # the exact-parity divide stays; see BENCH_NOTES.md)
             t1 = (x - kn[i]) / dr * bases[i]
             t2 = (kn[i + k + 1] - x) / dd * bases[i + 1]
             new.append(t1 + t2)
@@ -98,3 +101,38 @@ def bspline_basis_unrolled_list(x, knots, spline_order: int):
 def bspline_basis_unrolled(x, knots, spline_order: int):
     return jnp.stack(bspline_basis_unrolled_list(x, knots, spline_order),
                      axis=-1)
+
+
+def bspline_basis_cardinal_flat(x, knots, spline_order: int):
+    """Single-operand degree-major basis: (..., C) -> (..., K*C).
+
+    For a UNIFORM knot vector every Cox-de Boor column is the same
+    cardinal bump shifted: B_i(x) = B((x - t_i)/h) with B evaluated over
+    integer knots 0..order+1.  Expressing the whole buffer as ONE
+    elementwise function of a broadcast x (per-lane constant shifts)
+    gives XLA a single fusible producer, where the K-column concat of
+    `bspline_basis_unrolled_list` lowers to a K-ary dynamic-update-slice
+    chain that re-reads x per column (measured on the KAN-VGG16_small
+    train step — see BENCH_NOTES.md).
+
+    Matches the recurrence to f32 roundoff (~1e-7 rel), NOT bit-exactly:
+    the rational weights are computed on u=(x-t_i)/h instead of x.
+    Requires a uniform grid; callers fall back to the list form otherwise.
+    """
+    g32 = np.asarray(knots, np.float32)
+    deltas = np.diff(g32)
+    if not np.allclose(deltas, deltas[0], rtol=1e-5, atol=0):
+        return None
+    h = float(deltas[0])
+    K = len(g32) - spline_order - 1   # grid_size + spline_order columns
+    C = x.shape[-1]
+    shifts = np.repeat(g32[:K], C)    # lane k*C + c  <-  t_k
+    xb = jnp.broadcast_to(x[..., None, :], x.shape[:-1] + (K, C))
+    xb = xb.reshape(x.shape[:-1] + (K * C,))
+    u = (xb - jnp.asarray(shifts, x.dtype)) / jnp.asarray(
+        np.float32(h), x.dtype)
+    # cardinal B_order(u): the same unrolled recurrence over integer knots
+    cols = bspline_basis_unrolled_list(
+        u, tuple(float(i) for i in range(spline_order + 2)), spline_order)
+    assert len(cols) == 1
+    return cols[0]

@@ -190,6 +190,23 @@ class KanConvND(nn.Module):
     # dominant HBM traffic; MXU consumes bf16 natively with f32
     # accumulation).  Off by default — not torch-bit-exact.
     basis_bf16: bool = False
+    # opt-in: run the whole basis->contraction island natively in bf16 —
+    # cast the NARROW pre-expansion input (and the weights) to bf16, so
+    # the wide (..., K*C) basis tensor AND its autodiff cotangent live in
+    # HBM as bf16 with no f32 convert anywhere on the wide path (the
+    # basis_bf16 cast-after-expansion variant leaves the backward wide
+    # tensor f32 because XLA fuses the convert into the igrad conv's
+    # output — measured null).  Conv output is cast back to f32 before
+    # norm/activation.  NOT torch-bit-exact; standard bf16 mixed
+    # precision.  See BENCH_NOTES.md for the measurement.
+    island_bf16: bool = False
+    # how the degree-major basis buffer is assembled from the K column
+    # list: 'concat' (jnp.concatenate — lowers to a K-ary chain of
+    # dynamic-update-slice fusions, each re-reading x) or 'stack'
+    # (stack on a new minor-2 axis + collapsing reshape — bit-identical
+    # rows k*C+c, but one fusible producer).  Perf-only switch; see
+    # BENCH_NOTES.md for the measured verdict.
+    basis_build: str = "concat"
     # spatial sharding: set a Mesh (+ axis name) to run both convs with the
     # batch-height plane sharded over that axis via halo exchange
     # (parallel/halo.py) — stride-1/'same'/groups-1 2D configs only; other
@@ -429,6 +446,65 @@ class KanConvND(nn.Module):
             return P.taylor_basis_list(jnp.tanh(x), d)
         return None
 
+    def _expand_flat(self, x):
+        """Single-operand degree-major expansion: (..., C) -> (..., K*C)
+        computed as ONE elementwise function of a broadcast x with
+        per-lane constants, instead of a K-column concat (which XLA
+        lowers to a K-ary dynamic-update-slice chain re-reading x per
+        column).  Only families whose columns share a parametric form;
+        None otherwise (callers fall back to `_expand_cols`).
+
+        fastkan/cheby are bit-identical to the column form; kan uses the
+        cardinal-bump evaluation (f32-roundoff-equal, see
+        bspline_basis_cardinal_flat)."""
+        import numpy as _np
+
+        f = self.family
+        C = x.shape[-1]
+
+        def _bcast(t, K):
+            tb = jnp.broadcast_to(t[..., None, :], t.shape[:-1] + (K, C))
+            return tb.reshape(t.shape[:-1] + (K * C,))
+
+        if f == "kan":
+            if self.grid_override is not None:
+                grid = self.grid_override
+            else:
+                grid = make_bspline_grid(self.grid_size, self.spline_order,
+                                         self.grid_range)
+            from ..basis.bspline import bspline_basis_cardinal_flat
+            try:
+                knots = tuple(float(v) for v in _np.asarray(grid))
+            except Exception:
+                return None
+            return bspline_basis_cardinal_flat(x, knots, self.spline_order)
+        if f == "fastkan":
+            if self.grid_override is not None:
+                grid = self.grid_override
+            else:
+                grid = make_rbf_grid(self.grid_range[0], self.grid_range[1],
+                                     self.grid_size)
+            denom = (self.grid_range[1] - self.grid_range[0]) / (
+                self.grid_size - 1)
+            try:
+                centers = _np.asarray(grid, _np.float32)
+            except Exception:
+                return None
+            K = len(centers)
+            lane_c = jnp.asarray(_np.repeat(centers, C), x.dtype)
+            u = (_bcast(x, K) - lane_c) / jnp.asarray(
+                _np.float32(denom), x.dtype)
+            return jnp.exp(-jnp.square(u))
+        if f == "cheby":
+            t = jnp.tanh(x)
+            theta = jnp.arccos(
+                jnp.clip(t, -1.0 + self.epsilon, 1.0 - self.epsilon))
+            K = self.degree + 1
+            n_lane = jnp.asarray(
+                _np.repeat(_np.arange(K, dtype=_np.float32), C), x.dtype)
+            return jnp.cos(n_lane * _bcast(theta, K))
+        return None
+
     def _flatten_basis(self, basis):
         """(B, *S, C, K) -> (B, *S, G * in_g*K) group-major, with the
         reference's per-family intra-group ordering."""
@@ -560,6 +636,19 @@ class KanConvND(nn.Module):
                 t = self._channel_dropout(t, train)
             t = self._fastkan_input_norm(t, train)
 
+        if self.island_bf16:
+            # bf16 compute island (see flag docstring): cast the NARROW
+            # tensors; everything wide downstream (basis, cotangents) is
+            # then natively bf16.  Squash/norm above stay f32.
+            if t.dtype == jnp.float32:
+                t = t.astype(jnp.bfloat16)
+            if base_in is not None and base_in.dtype == jnp.float32:
+                base_in = base_in.astype(jnp.bfloat16)
+            if poly_w.dtype == jnp.float32:
+                poly_w = poly_w.astype(jnp.bfloat16)
+            if base_w is not None and base_w.dtype == jnp.float32:
+                base_w = base_w.astype(jnp.bfloat16)
+
         # ------- degree-major fast path (groups==1): the channel-major
         # flatten of the stacked (..., C, K) basis forces a full lane
         # interleave — profiled at ~4.6 ms/step of pure relayout copies on
@@ -567,17 +656,45 @@ class KanConvND(nn.Module):
         # the basis as a lane-CONCAT of the K list columns is layout-free;
         # the row permutation moves onto the (tiny) weight tensor instead.
         cols = None
+        flat_bcast = None
         if self.groups == 1 and not (spec.dropout_site == "basis" and train):
-            cols = self._expand_cols(t, beta=beta)
-        if cols is not None:
-            flat_dm = jnp.concatenate(cols, axis=-1)      # rows k*C + c
+            if self.basis_build == "bcast":
+                flat_bcast = self._expand_flat(t)
+            if flat_bcast is None:
+                cols = self._expand_cols(t, beta=beta)
+        if cols is not None or flat_bcast is not None:
+            def _assemble(parts):
+                # rows k*C + c, either way; 'stack' collapses a new
+                # minor-2 axis so the whole buffer has ONE elementwise
+                # producer instead of a len(parts)-ary concat chain
+                if self.basis_build == "stack":
+                    C_ = parts[0].shape[-1]
+                    return jnp.stack(parts, axis=-2).reshape(
+                        parts[0].shape[:-1] + (len(parts) * C_,))
+                return jnp.concatenate(parts, axis=-1)
+
+            base_folded = False
+            if flat_bcast is not None:
+                # single-operand broadcast form: already rows k*C + c
+                flat_dm = flat_bcast
+                K_count = flat_bcast.shape[-1] // self.input_dim
+            elif (base_in is not None and not spec.basis_act
+                    and self.basis_build == "stack"
+                    and base_in.shape[-1] == cols[0].shape[-1]):
+                # base path joins the same stack (rows [K*C | C])
+                flat_dm = _assemble(cols + [base_in])
+                base_folded = True
+                K_count = len(cols)
+            else:
+                flat_dm = _assemble(cols)
+                K_count = len(cols)
             if spec.basis_act:
                 flat_dm = act(flat_dm)
             pw = poly_w
             if spec.layout != "degree_major":
                 # param rows are channel-major (c*K + k, reference layout);
                 # permute once per step — O(|w|), not O(|activations|)
-                C, K_ = self.input_dim, len(cols)
+                C, K_ = self.input_dim, K_count
                 pw = poly_w.reshape(kshape + (C, K_, self.output_dim))
                 pw = jnp.swapaxes(pw, -3, -2).reshape(
                     kshape + (K_ * C, self.output_dim))
@@ -586,7 +703,8 @@ class KanConvND(nn.Module):
                 # over rows [K*C basis | C base] instead of two
                 # lane-starved convs (the base conv's 9*C-deep contraction
                 # is the shallowest pass in the whole net)
-                flat_dm = jnp.concatenate([flat_dm, base_in], axis=-1)
+                if not base_folded:
+                    flat_dm = jnp.concatenate([flat_dm, base_in], axis=-1)
                 pw = jnp.concatenate([pw, base_w], axis=-2)
             if self.basis_bf16 and flat_dm.dtype == jnp.float32:
                 # opt-in perf mode: store the materialized basis tensor
@@ -629,6 +747,8 @@ class KanConvND(nn.Module):
         spline_out = self._conv(basis_flat, poly_w, conv_kwargs)
 
         y = spline_out if base_out is None else base_out + spline_out
+        if y.dtype != x.dtype:
+            y = y.astype(x.dtype)
         return self._post_combine(y, act, train)
 
     def _halo_eligible(self, x, w, kw) -> bool:

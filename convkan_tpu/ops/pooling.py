@@ -27,6 +27,10 @@ def max_pool(x, kernel_size: IntOr2, stride: IntOr2 = None, padding: IntOr2 = 0)
     k = _pair(kernel_size)
     s = _pair(stride if stride is not None else kernel_size)
     p = _pair(padding)
+    # (A reshape+max fast path for the non-overlapping divisible case was
+    # measured SLOWER end-to-end on the KAN-VGG16_small train step —
+    # 47.1k vs 49.5k img/s: the 6-D equality-select backward costs more
+    # than XLA's 0.31 ms select-and-scatter.  Reverted; see BENCH_NOTES.)
     # NOTE: the init value must stay a weak-typed python literal — a
     # concrete array here defeats JAX's reduce-window-max autodiff pattern
     return lax.reduce_window(

@@ -225,3 +225,67 @@ def test_degree_major_fast_path_matches_stacked(family, monkeypatch):
     y_stacked = m.apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_stacked),
                                atol=1e-12, rtol=1e-12)
+
+
+@pytest.mark.parametrize("family", sorted(FAMILY_KW))
+def test_basis_build_stack_matches_concat(family):
+    """basis_build='stack' (stack+collapsing-reshape assembly) is
+    bit-identical to the default 'concat' chain — it is a pure
+    XLA-producer-shape change (see KanConvND.basis_build)."""
+    kw = dict(family=family, input_dim=6, output_dim=8, kernel_size=3,
+              ndim=2, padding=1, **FAMILY_KW[family])
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6), jnp.float32)
+    outs = {}
+    for mode in ("concat", "stack"):
+        m = KanConvND(basis_build=mode, **kw)
+        v = m.init(jax.random.PRNGKey(1), x, train=False)
+        outs[mode] = np.asarray(m.apply(v, x, train=False))
+    np.testing.assert_array_equal(outs["concat"], outs["stack"])
+
+
+@pytest.mark.parametrize("family,exact", [("kan", False), ("fastkan", True),
+                                          ("cheby", True)])
+def test_basis_build_bcast_matches_concat(family, exact):
+    """basis_build='bcast' (single-operand broadcast expansion) equals the
+    concat path bit-for-bit for fastkan/cheby (same elementwise ops with
+    per-lane constants) and to f32 roundoff for kan (cardinal-bump
+    evaluation, bspline_basis_cardinal_flat)."""
+    kw = dict(family=family, input_dim=6, output_dim=8, kernel_size=3,
+              ndim=2, padding=1, **FAMILY_KW[family])
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6), jnp.float32)
+    outs = {}
+    for mode in ("concat", "bcast"):
+        m = KanConvND(basis_build=mode, **kw)
+        v = m.init(jax.random.PRNGKey(1), x, train=False)
+        outs[mode] = np.asarray(m.apply(v, x, train=False))
+    if exact:
+        np.testing.assert_array_equal(outs["concat"], outs["bcast"])
+    else:
+        np.testing.assert_allclose(outs["concat"], outs["bcast"],
+                                   atol=3e-5, rtol=1e-5)
+
+
+def test_island_bf16_close_and_f32_contract():
+    """island_bf16: output/grads stay f32, values within bf16 tolerance of
+    the f32 path, and the fallback (groups>1) path also honors the flag."""
+    kw = dict(family="kan", input_dim=6, output_dim=8, kernel_size=3,
+              ndim=2, padding=1, grid_size=5, spline_order=3)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6), jnp.float32)
+    for groups in (1, 2):
+        ys = {}
+        for isl in (False, True):
+            m = KanConvND(island_bf16=isl, groups=groups, **{**kw,
+                          "input_dim": 6, "output_dim": 8})
+            v = m.init(jax.random.PRNGKey(1), x, train=False)
+            y = m.apply(v, x, train=False)
+            assert y.dtype == jnp.float32
+            ys[isl] = np.asarray(y)
+        np.testing.assert_allclose(ys[False], ys[True], atol=0.15, rtol=0.1)
+
+        m = KanConvND(island_bf16=True, groups=groups, **kw)
+        v = m.init(jax.random.PRNGKey(1), x, train=False)
+        g = jax.grad(lambda p: jnp.sum(
+            m.apply({"params": p}, x, train=False) ** 2))(v["params"])
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert leaf.dtype == jnp.float32
+            assert np.isfinite(np.asarray(leaf)).all()
