@@ -203,12 +203,14 @@ def measure_kanconv_micro():
 
 
 # ------------------------------------------------------------ config 2
-def measure_fastkan_mlp(batch=1024, steps=500):
+def measure_fastkan_mlp(batch=8192, steps=500):
     """FastKAN MLP [784,128,64,10] MNIST-shaped train step (config 2).
 
     steps=500: one step is ~0.07 ms of device work, so a 50-step window
     was dominated by the ~20 ms tunnel round trip (run-to-run spread
-    0.94-1.22M img/s); 500 chained steps put compute at >10x the RTT."""
+    0.94-1.22M img/s); 500 chained steps put compute at >10x the RTT.
+    batch=8192: measured sweep (BENCH_NOTES round 3) — batch 1024 swings
+    2.4-5.5M img/s across sessions; 8192 pins 5.6M with <1% spread."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -455,10 +457,12 @@ def measure_torch_reference() -> float:
     return TORCH_BATCH * steps / dt
 
 
-def measure_serving(batches=(1, 8, 1024), steps=100):
+def measure_serving(batches=(1, 8, 1024), steps=100, bf16=False):
     """Inference serving: per-batch-size latency/throughput of the
     flagship model's jitted forward (uint8 in -> logits), the deployment
-    surface `utils/export.py` serializes."""
+    surface `utils/export.py` serializes.  bf16=True serves the whole
+    forward (params + activations) in bfloat16 — standard TPU inference
+    precision; logits differ from f32 at bf16 tolerance."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -467,6 +471,15 @@ def measure_serving(batches=(1, 8, 1024), steps=100):
     from convkan_tpu.train.data import normalize_batch
     from convkan_tpu.train.state import create_train_state
 
+    if bf16:
+        # the layer's own bf16 compute island (KanConvND.island_bf16):
+        # narrow input + weights cast bf16 inside the layer, the wide
+        # basis tensor and the conv run natively bf16, output cast back —
+        # the supported mixed-precision path (blanket-casting the param
+        # tree instead leaves the f32 basis constants promoting the conv
+        # lhs back to f32, a dtype mismatch)
+        from convkan_tpu.nn.kan_conv import KanConvND
+        KanConvND.island_bf16 = True
     model = vggkan(3, 10, arch=ARCH, kan_conv="KAN", classifier_type="Linear")
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.zeros((8, 32, 32, 3), jnp.float32),
@@ -482,8 +495,10 @@ def measure_serving(batches=(1, 8, 1024), steps=100):
 
         def fwd(acc, xb):
             x = normalize_batch(xb, "CIFAR10")
+            if bf16:
+                x = x.astype(jnp.bfloat16)
             out = model.apply(variables, x + acc * 0, train=False)
-            return jnp.sum(out)
+            return jnp.sum(out).astype(jnp.float32)
 
         def scan_steps(xb):
             def body(acc, _):
@@ -505,6 +520,60 @@ def measure_serving(batches=(1, 8, 1024), steps=100):
                               "images_per_sec": round(b / ms, 1)}
     return {"metric": "kan_vgg_cifar10_serving", "unit": "per-batch rows",
             "rows": rows}
+
+
+def measure_serving_fold_bn(batches=(1, 8, 256), steps=50):
+    """Deployment transform A/B: KAN-MobileNetV3-small @224² inference
+    with and without `utils/fold_bn.fold_batch_norms` (BN eps 0.001).
+    Variables are closed over as jit constants (the export_forward
+    serving pattern), so folded BNs constant-fold into the conv
+    epilogue."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convkan_tpu.models.mobilenetv3 import mobilenet_v3_kan
+    from convkan_tpu.utils.fold_bn import fold_batch_norms
+
+    model = mobilenet_v3_kan("small", 1000, conv_type="conv")
+    x0 = jnp.zeros((2, 224, 224, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    folded, n_folded = fold_batch_norms(variables, eps=1e-3)
+
+    def time_variant(variables):
+        out = {}
+        for b in batches:
+            xb = jnp.asarray(np.random.RandomState(0).rand(
+                b, 224, 224, 3).astype(np.float32))
+
+            def scan_steps(xb):
+                def body(acc, _):
+                    y = model.apply(variables, xb + acc * 1e-20,
+                                    train=False)
+                    return jnp.sum(y), ()
+                s, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                    jnp.arange(steps))
+                return s
+            jitted = jax.jit(scan_steps)
+            _sync(jitted(xb))
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                _sync(jitted(xb))
+                times.append((time.perf_counter() - t0) / steps)
+            ms = statistics.median(times)
+            out[f"batch_{b}"] = {"latency_ms": round(ms * 1e3, 4),
+                                 "images_per_sec": round(b / ms, 1)}
+        return out
+
+    base = time_variant(variables)
+    fold = time_variant(folded)
+    speedup = {k: round(fold[k]["images_per_sec"]
+                        / base[k]["images_per_sec"], 3) for k in base}
+    return {"metric": "kan_mnv3_224_serving_fold_bn",
+            "unit": "per-batch rows", "n_folded": n_folded,
+            "rows": {"unfolded": base, "folded": fold,
+                     "speedup": speedup}}
 
 
 def get_baseline() -> float:
@@ -537,7 +606,14 @@ def main():
 
     device_kind = jax.devices()[0].device_kind
     if "--serving" in sys.argv:
-        out = measure_serving()
+        out = measure_serving(bf16="--bf16" in sys.argv)
+        if "--bf16" in sys.argv:
+            out["metric"] += "_bf16"
+        out["device_kind"] = device_kind
+        print(json.dumps(out))
+        return
+    if "--serving_fold_bn" in sys.argv:
+        out = measure_serving_fold_bn()
         out["device_kind"] = device_kind
         print(json.dumps(out))
         return

@@ -51,17 +51,23 @@ def _shardings(mesh):
 
 
 def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
-                    mesh=None, state_shardings=None, imagenet: bool = False):
-    def step(state: TrainState, rng, x_uint8, labels):
-        rng = jax.random.fold_in(rng, state.step)
-        aug_rng, drop_rng = jax.random.split(rng)
-        x = train_batch(aug_rng, x_uint8, dataset, augment,
-                        imagenet=imagenet)
+                    mesh=None, state_shardings=None, imagenet: bool = False,
+                    grad_accum: int = 1):
+    """grad_accum > 1 splits each global batch into that many equal
+    microbatches inside ONE jitted step (a `lax.scan` over microbatches,
+    gradients averaged before the single optimizer update) — the
+    activation working set shrinks by the accumulation factor while the
+    effective batch/update semantics stay those of the full batch.  For
+    models without batch-dependent state (everything but BatchNorm
+    running stats, which advance once per microbatch — standard
+    accumulation semantics) the averaged gradient is bit-for-bit the
+    mean-CE full-batch gradient up to f32 summation order."""
 
+    def micro_grads(state, params, x, labels, drop_rng, stats):
         def loss_fn(params):
             variables = {"params": params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
+            if stats:
+                variables["batch_stats"] = stats
             out, mut = model.apply(
                 variables, x, train=True, rngs={"dropout": drop_rng},
                 mutable=["batch_stats", "losses"],
@@ -73,10 +79,45 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
             if l1_decay > 0:
                 # opt-in *global* L1 over every parameter (beyond-reference)
                 loss = loss + l1_penalty(params, l1_decay)
-            return loss, mut.get("batch_stats", state.batch_stats)
+            return loss, mut.get("batch_stats", stats)
 
-        (loss, new_stats), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def step(state: TrainState, rng, x_uint8, labels):
+        rng = jax.random.fold_in(rng, state.step)
+        aug_rng, drop_rng = jax.random.split(rng)
+        x = train_batch(aug_rng, x_uint8, dataset, augment,
+                        imagenet=imagenet)
+
+        if grad_accum <= 1:
+            (loss, new_stats), grads = micro_grads(
+                state, state.params, x, labels, drop_rng, state.batch_stats)
+        else:
+            n = x.shape[0]
+            if n % grad_accum:
+                raise ValueError(
+                    f"batch {n} not divisible by grad_accum={grad_accum}")
+            mb = n // grad_accum
+            xs = x.reshape((grad_accum, mb) + x.shape[1:])
+            ys = labels.reshape((grad_accum, mb))
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+            def body(carry, inp):
+                stats, gsum, lsum, i = carry
+                x_mb, y_mb = inp
+                (loss, new_stats), g = micro_grads(
+                    state, state.params, x_mb, y_mb,
+                    jax.random.fold_in(drop_rng, i), stats)
+                gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                return (new_stats, gsum, lsum + loss, i + 1), ()
+
+            (new_stats, gsum, lsum, _), _ = jax.lax.scan(
+                body, (state.batch_stats, zeros, jnp.zeros(()),
+                       jnp.zeros((), jnp.int32)), (xs, ys))
+            inv = 1.0 / grad_accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
+            loss = lsum * inv
+
         state = state.apply_gradients(grads, new_batch_stats=new_stats)
         return state, loss
 
@@ -217,12 +258,14 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                           mesh=None, path: Optional[str] = None,
                           model_name: str = "model", patience=np.inf,
                           save_last: bool = True, resume: bool = False,
-                          learning_rate: float = 1e-3, gamma: float = 0.8):
+                          learning_rate: float = 1e-3, gamma: float = 0.8,
+                          grad_accum: int = 1):
     """Epoch loop with best-checkpointing and early stopping
     (evaluations.py:156-247 parity)."""
     train_step = make_train_step(model, dataset, train_ds.augment,
                                  l1_decay=l1_decay, mesh=mesh,
-                                 imagenet=getattr(train_ds, "imagenet", False))
+                                 imagenet=getattr(train_ds, "imagenet", False),
+                                 grad_accum=grad_accum)
     eval_step = make_eval_step(model, dataset, num_classes, mesh=mesh,
                                imagenet=getattr(test_ds, "imagenet", False))
     # NOTE: train_and_test_models runs dp-style (replicated params); TP
@@ -365,7 +408,8 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
                         epochs=15, seed=42, l1_decay=0.0, mesh=None,
                         path: Optional[str] = None, resume: bool = False,
                         model_name: Optional[str] = None,
-                        sample_input=None, patience=np.inf):
+                        sample_input=None, patience=np.inf,
+                        grad_accum: int = 1):
     """generic_train.py:18-53 parity: build optimizer/state and run the
     epoch loop; returns (state, history)."""
     model_name = model_name or getattr(model, "model_name", None) or type(model).__name__
@@ -388,7 +432,7 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
         model, state, train_ds, test_ds, dataset, num_classes, batch_size,
         epochs, seed=seed, l1_decay=l1_decay, mesh=mesh, path=path,
         model_name=model_name, resume=resume, learning_rate=learning_rate,
-        gamma=gamma, patience=patience)
+        gamma=gamma, patience=patience, grad_accum=grad_accum)
     total = time.perf_counter() - t0
     logger.info("total training time %.2f min (%.2f min/epoch)",
                 total / 60, total / 60 / max(epochs, 1))

@@ -21,11 +21,22 @@ from jax import export as jexport
 
 
 def export_forward(model, variables, input_shape: Sequence[int],
-                   batch_poly: bool = True) -> bytes:
+                   batch_poly: bool = True, fold_bn: bool = False,
+                   bn_eps: float = 1e-5) -> bytes:
     """Serialize `model.apply(variables, x, train=False)` with the params
     baked in.  `input_shape` excludes the batch dim; with batch_poly the
     batch dimension is exported symbolically (any batch size at serve
-    time)."""
+    time).
+
+    fold_bn applies `utils/fold_bn.fold_batch_norms` first: because the
+    variables are closed over as compile-time constants here, the folded
+    BNs' multiply-by-one / sqrt-of-one constant-fold away and each BN
+    collapses into a single fused shift in the conv epilogue.  bn_eps
+    must match the model's BatchNorm eps (MobileNetV3 / EfficientNetV2
+    configure 0.001)."""
+    if fold_bn:
+        from .fold_bn import fold_batch_norms
+        variables, _ = fold_batch_norms(variables, eps=bn_eps)
 
     def fwd(x):
         return model.apply(variables, x, train=False)

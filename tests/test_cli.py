@@ -53,7 +53,8 @@ def test_cli_main_end_to_end_report_artifacts(tmp_path):
     cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
               "--dataset", "MNIST", "--synthetic_data",
               "--synthetic_size", "128", "--epoch", "1",
-              "--batch_size", "64", "--results_dir", str(tmp_path)])
+              "--batch_size", "64", "--grad_accum", "2",
+              "--results_dir", str(tmp_path)])
     for name in ("loss_curves.png", "params_vs_accuracy.png",
                  "roc_curves.png", "experiment_results.csv",
                  "experiment_results.html", "training_history.csv"):

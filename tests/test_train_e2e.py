@@ -145,3 +145,55 @@ def test_data_parallel_mesh():
         model, train_ds, test_ds, "CIFAR10", 10, batch_size=64, epochs=1,
         mesh=mesh)
     assert np.isfinite(history["train_loss"]).all()
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=4: averaged microbatch gradients give the same update
+    as the full batch (no BatchNorm/dropout in the model -> exact up to
+    f32 summation order)."""
+    from convkan_tpu.train.loop import make_train_step
+    from convkan_tpu.train.state import create_train_state
+
+    model = MLP_KAN_FACTORY["FastKAN"]([48, 32, 10])
+    x0 = jnp.zeros((16, 48), jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    xb = jnp.asarray(
+        (np.random.RandomState(0).rand(16, 4, 4, 3) * 255).astype(np.uint8))
+    yb = jnp.asarray(np.random.RandomState(1).randint(0, 10, (16,)))
+
+    outs = {}
+    for accum in (1, 4):
+        state = create_train_state(model, jax.random.PRNGKey(7),
+                                   x0, steps_per_epoch=10)
+        step = make_train_step(_FlatModel(model), "CIFAR10", augment=False,
+                               grad_accum=accum)
+        state, loss = step(state, rng, xb, yb)
+        outs[accum] = (np.asarray(loss),
+                       jax.tree_util.tree_map(np.asarray, state.params))
+    np.testing.assert_allclose(outs[1][0], outs[4][0], rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-4),
+        outs[1][1], outs[4][1])
+
+
+class _FlatModel:
+    """Adapter: flatten the (B,H,W,C) pipeline batch for an MLP."""
+
+    def __init__(self, mlp):
+        self.mlp = mlp
+
+    def apply(self, variables, x, **kw):
+        return self.mlp.apply(variables, x.reshape(x.shape[0], -1), **kw)
+
+
+def test_grad_accum_under_mesh():
+    """grad_accum composes with the data-parallel mesh path."""
+    mesh = make_mesh()
+    train_ds, test_ds, _ = get_datasets("CIFAR10", synthetic=True,
+                                        synthetic_size=128)
+    model = vggkan(3, 10, arch="VGG16_kansmall", kan_conv="FastKAN",
+                   classifier_type="Linear", width_scale=0.25)
+    state, history = train_model_generic(
+        model, train_ds, test_ds, "CIFAR10", 10, batch_size=64, epochs=1,
+        mesh=mesh, grad_accum=2)
+    assert np.isfinite(history["train_loss"]).all()

@@ -4,7 +4,8 @@ Orbax checkpoints, optional data-parallel mesh).
 
 Extra flags beyond the reference (documented): --resume (true mid-training
 resume), --synthetic_data (zero-egress smoke runs), --mesh_data (data-
-parallel device count; default all devices).
+parallel device count; default all devices), --grad_accum (microbatched
+gradient accumulation inside the jitted step — batch sizes beyond HBM).
 """
 
 from __future__ import annotations
@@ -75,6 +76,11 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-native extensions
     p.add_argument("--resume", action="store_true",
                    help="resume from the _last checkpoint if present")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each batch into N microbatches inside the "
+                        "jitted step (gradients averaged before the single "
+                        "optimizer update) — trains batch sizes whose "
+                        "activations exceed HBM")
     p.add_argument("--synthetic_data", action="store_true",
                    help="use synthetic dataset-shaped data (no files needed)")
     p.add_argument("--synthetic_size", type=int, default=2048,
@@ -280,7 +286,7 @@ def main(argv=None):
         # global penalty — layer-scoped, matching the reference interface.
         seed=args.seed, mesh=mesh,
         path=model_save_path, resume=args.resume, model_name=model_name,
-        patience=args.patience)
+        patience=args.patience, grad_accum=args.grad_accum)
 
     # per-epoch trajectory (beyond the reference's one-row summary)
     write_results_csv(os.path.join(results_path, "training_history.csv"),
