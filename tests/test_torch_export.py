@@ -19,6 +19,35 @@ from convkan_tpu.utils.torch_export import export_vggkan_state_dict
 from golden_utils import load_golden, nchw_to_nhwc
 
 
+def _check(out, sd):
+    assert set(out) == set(sd), (
+        f"key mismatch: missing {sorted(set(sd) - set(out))[:5]}, "
+        f"extra {sorted(set(out) - set(sd))[:5]}")
+    for k in sorted(sd):
+        ref = np.asarray(sd[k])
+        assert out[k].dtype == ref.dtype, (
+            f"{k}: {out[k].dtype} vs {ref.dtype}")
+        if k.endswith("num_batches_tracked"):
+            # the counter is not tracked on TPU and exported as 0; torch
+            # only consults it when BatchNorm momentum is None (never in
+            # the reference)
+            continue
+        np.testing.assert_array_equal(out[k], ref, err_msg=k)
+
+
+def _block_roundtrip(name, build, convert, export):
+    """Graft a whole-model reference fixture in, export it back, require
+    key-complete bit-exactness (modulo the num_batches_tracked counter)."""
+    x, _, sd = load_golden(name)
+    model = build()
+    xh = nchw_to_nhwc(x).astype(np.float32)
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(jax.random.PRNGKey(0), xh)
+    variables = convert(sd, model, variables)
+    _check(export(model, variables), sd)
+
+
 def _roundtrip(name, **model_kw):
     _, _, sd = load_golden(name)
     model = vggkan(3, 10, arch="VGG16_kansmall", **model_kw)
@@ -28,16 +57,7 @@ def _roundtrip(name, **model_kw):
         lambda r, xx: model.init({"params": r}, xx, train=False)
     )(jax.random.PRNGKey(0), x)
     variables = convert_vggkan(sd, model, variables)
-
-    out = export_vggkan_state_dict(model, variables)
-
-    assert set(out) == set(sd), (
-        f"key mismatch: missing {sorted(set(sd) - set(out))[:5]}, "
-        f"extra {sorted(set(out) - set(sd))[:5]}")
-    for k in sorted(sd):
-        np.testing.assert_array_equal(out[k], np.asarray(sd[k]), err_msg=k)
-        assert out[k].dtype == np.asarray(sd[k]).dtype, (
-            f"{k}: {out[k].dtype} vs {np.asarray(sd[k]).dtype}")
+    _check(export_vggkan_state_dict(model, variables), sd)
 
 
 def test_vgg_cheby_kanhead_export_roundtrip():
@@ -53,3 +73,124 @@ def test_vgg_kan_linear_export_roundtrip():
     Linear classifier head."""
     _roundtrip("model_vgg_kan_linear", kan_conv="KAN",
                classifier_type="Linear")
+
+
+def test_mnv3_cheby_export_roundtrip():
+    """MNv3 block walk: expand/project kanconvs, std depthwise blocks,
+    SE fc1/fc2, BatchNorm running stats, classifier.0/.3 Linears."""
+    from convkan_tpu.models.mobilenetv3 import mobilenet_v3_kan
+    from convkan_tpu.utils.torch_compat import convert_mobilenet_v3
+    from convkan_tpu.utils.torch_export import export_mobilenet_v3_state_dict
+
+    _block_roundtrip(
+        "model_mnv3_small_cheby",
+        lambda: mobilenet_v3_kan("small", num_classes=4, width_mult=0.25,
+                                 kan_conv="ChebyKAN", degree=3,
+                                 classifier_type="Linear"),
+        convert_mobilenet_v3, export_mobilenet_v3_state_dict)
+
+
+def test_mnv3_fastkan_export_roundtrip():
+    """FastKAN quirks: spline_conv ModuleList name, per-group input-norm
+    slices with running stats, reconstructed rbf.grid buffer."""
+    from convkan_tpu.models.mobilenetv3 import mobilenet_v3_kan
+    from convkan_tpu.utils.torch_compat import convert_mobilenet_v3
+    from convkan_tpu.utils.torch_export import export_mobilenet_v3_state_dict
+
+    _block_roundtrip(
+        "model_mnv3_small_fastkan",
+        lambda: mobilenet_v3_kan("small", num_classes=4, width_mult=0.25,
+                                 kan_conv="FastKAN",
+                                 classifier_type="Linear"),
+        convert_mobilenet_v3, export_mobilenet_v3_state_dict)
+
+
+@pytest.mark.slow
+def test_mnv2_bessel_export_roundtrip():
+    """MNv2 inline inverted residuals: features.{n}.conv.{j} prefixes,
+    prelus, classifier.fc."""
+    from convkan_tpu.models.mobilenetv2 import mobilenet_v2_kan
+    from convkan_tpu.utils.torch_compat import convert_mobilenet_v2
+    from convkan_tpu.utils.torch_export import export_mobilenet_v2_state_dict
+
+    _block_roundtrip(
+        "model_mnv2_kansmall_bessel",
+        lambda: mobilenet_v2_kan(num_classes=4, arch="kan_small",
+                                 width_mult=0.25, kan_conv="BesselKAN",
+                                 degree=3, classifier_type="Linear"),
+        convert_mobilenet_v2, export_mobilenet_v2_state_dict)
+
+
+@pytest.mark.slow
+def test_mnv1_conv_export_roundtrip():
+    """MNv1 conv-type layout: std-conv stem + depthwise/pointwise blocks
+    (conv weight + BN params/stats), classifier.1."""
+    from convkan_tpu.models.mobilenet import mobilenet_v1_kan
+    from convkan_tpu.utils.torch_compat import convert_mobilenet_v1
+    from convkan_tpu.utils.torch_export import export_mobilenet_v1_state_dict
+
+    _block_roundtrip(
+        "model_mnv1_conv",
+        lambda: mobilenet_v1_kan(num_classes=4, width_mult=0.25,
+                                 conv_type="conv",
+                                 classifier_type="Linear"),
+        convert_mobilenet_v1, export_mobilenet_v1_state_dict)
+
+
+def test_alexnet_export_roundtrip():
+    """AlexNet features Sequential indices (pools interleaved at fixed
+    positions) + named fc1/fc2/fc3 classifier.  No committed fixture (the
+    f64 dump is 250 MB — see migration test), so the reference-layout
+    state_dict is synthesized exactly as in
+    test_alexnet_state_dict_migration."""
+    from convkan_tpu.models.alexnet import alexnet_kan
+    from convkan_tpu.utils.torch_compat import convert_alexnet
+    from convkan_tpu.utils.torch_export import export_alexnet_state_dict
+
+    rng = np.random.RandomState(0)
+    K = 8  # grid 5 + order 3
+    dims = [(3, 64, 5), (64, 192, 5), (192, 384, 3), (384, 256, 3),
+            (256, 256, 3)]
+    sd = {}
+    for idx, (ci, co, k) in zip((0, 2, 4, 5, 6), dims):
+        sd[f"features.{idx}.base_conv.0.weight"] = rng.randn(
+            co, ci, k, k).astype(np.float32) * 0.05
+        sd[f"features.{idx}.spline_conv.0.weight"] = rng.randn(
+            co, ci * K, k, k).astype(np.float32) * 0.05
+        sd[f"features.{idx}.prelus.0.weight"] = np.full((1,), 0.25,
+                                                        np.float32)
+        sd[f"features.{idx}.layer_norm.0.weight"] = (
+            1 + 0.1 * rng.randn(co).astype(np.float32))
+        sd[f"features.{idx}.layer_norm.0.bias"] = (
+            0.1 * rng.randn(co).astype(np.float32))
+    for fc, (i, o) in (("fc1", (9216, 1024)), ("fc2", (1024, 1024)),
+                       ("fc3", (1024, 10))):
+        sd[f"classifier.{fc}.weight"] = rng.randn(o, i).astype(
+            np.float32) * 0.01
+        sd[f"classifier.{fc}.bias"] = rng.randn(o).astype(np.float32) * 0.01
+
+    model = alexnet_kan(num_classes=10, input_channels=3, arch="small",
+                        kan_conv="KAN", classifier_type="Linear")
+    x = np.zeros((1, 64, 64, 3), np.float32)
+    variables = jax.jit(
+        lambda r, xx: model.init({"params": r}, xx, train=False)
+    )(jax.random.PRNGKey(0), x)
+    variables = convert_alexnet(sd, model, variables)
+    _check(export_alexnet_state_dict(model, variables), sd)
+
+
+def test_effv2_gram_export_roundtrip():
+    """EffV2 staged blocks (fused + mbconv, SE) and the 5-D poly_weights
+    export form of the raw-weight families (GRAM beta_weights too)."""
+    from convkan_tpu.models.efficientnetv2 import efficientnetv2_kan_small
+    from convkan_tpu.utils.torch_compat import convert_efficientnetv2
+    from convkan_tpu.utils.torch_export import (
+        export_efficientnetv2_state_dict)
+
+    _block_roundtrip(
+        "model_effv2_kantiny_gram",
+        lambda: efficientnetv2_kan_small(arch="kan_tiny", num_classes=4,
+                                         kan_conv="GRAMKAN", degree=3,
+                                         classifier_type="Linear",
+                                         affine=True),
+        convert_efficientnetv2, export_efficientnetv2_state_dict)
