@@ -103,6 +103,28 @@ def build_config5(batch, remat):
     return step, state
 
 
+def build_config1():
+    """bench.py measure_kanconv_micro: KANConv2D(3->16,k3,grid5,order3)
+    fwd+bwd on 16x32x32x3 — the BASELINE config-1 microbenchmark."""
+    from convkan_tpu.nn.kan_conv import KANConv2DLayer
+
+    m = KANConv2DLayer(3, 16, 3, padding=1)
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 32, 32, 3))
+    params = m.init(jax.random.PRNGKey(1), x, train=False)
+
+    def loss_fn(p, xx):
+        return jnp.sum(m.apply(p, xx, train=False) ** 2)
+
+    # mirror bench.py's `many` composition exactly: the scan carry is a
+    # scalar perturbation (params are closed over), so the trace shows
+    # what the bench actually measures
+    def step(c, rng):
+        g = jax.grad(loss_fn)(params, x + c)
+        return c * 0.0, g["params"]["poly_w"][0, 0, 0, 0]
+
+    return step, jnp.zeros(())
+
+
 def build_config3():
     from convkan_tpu.models.vgg import vggkan
     from convkan_tpu.train.loop import make_train_step
@@ -163,7 +185,7 @@ def parse_trace(trace_dir, steps):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("config", choices=["config3", "config4",
+    ap.add_argument("config", choices=["config1", "config3", "config4",
                                        "config4_pallas", "config5"])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--remat", action="store_true")
@@ -176,6 +198,8 @@ def main():
         step, state = build_config4(True)
     elif args.config == "config5":
         step, state = build_config5(args.batch, args.remat)
+    elif args.config == "config1":
+        step, state = build_config1()
     else:
         step, state = build_config3()
 
