@@ -99,11 +99,18 @@ def _load_source_state_dict(src: str, reference_path: str = None):
     import torch
 
     if reference_path:
-        # whole-module pickle: unpickling runs the reference class code
-        sys.path.insert(0, os.path.join(_REPO_ROOT, "tools", "goldens"))
+        # whole-module pickle: unpickling runs the reference class code.
+        # sys.path additions are scoped — the reference tree's top-level
+        # train/utils/models modules must not shadow repo imports later.
+        tools = os.path.join(_REPO_ROOT, "tools", "goldens")
+        sys.path.insert(0, tools)
         sys.path.insert(0, reference_path)
-        import tv_stub  # noqa: F401  (torchvision SqueezeExcitation stub)
-        obj = torch.load(src, map_location="cpu", weights_only=False)
+        try:
+            import tv_stub  # noqa: F401  (torchvision SqueezeExcitation stub)
+            obj = torch.load(src, map_location="cpu", weights_only=False)
+        finally:
+            sys.path.remove(tools)
+            sys.path.remove(reference_path)
     else:
         obj = torch.load(src, map_location="cpu", weights_only=True)
     if hasattr(obj, "state_dict") and callable(obj.state_dict):

@@ -166,6 +166,14 @@ def convert_wavkan_conv(sd: Mapping[str, np.ndarray], groups: int,
     params["translation"] = np.stack(trans)
     params["wavelet_w"] = np.concatenate(wavs, axis=-1)
     params["wavelet_out_w"] = np.concatenate(mixes, axis=-1)
+
+    # per-group output norms (wav_kan_layers.py:432), same layout as the
+    # generic families
+    norm_params, norm_stats = _convert_group_norms(sd, "layer_norm", groups)
+    if norm_params:
+        params["__norm_params__"] = norm_params
+    if norm_stats:
+        params["__norm_stats__"] = norm_stats
     return params
 
 
@@ -182,8 +190,23 @@ REF_FAMILY = {
     "FibonacciKAN": "fibonacci", "FourierKAN": "fourier",
     "GegenbauerKAN": "gegenbauer", "HermiteKAN": "hermite",
     "LaguerreKAN": "laguerre", "LucasKAN": "lucas", "ReLUKAN": "relukan",
-    "TaylorKAN": "taylor",
+    "TaylorKAN": "taylor", "WavKAN": "wavkan",
 }
+
+
+def _conv_scope(family: str, i: int) -> str:
+    """Flax auto-names conv scopes by module class; WavKAN has its own."""
+    return f"WavKANConvND_{i}" if family == "wavkan" else f"KanConvND_{i}"
+
+
+def _convert_any_conv(sub, family: str, groups: int):
+    """Dispatch one reference conv-layer state_dict to the right converter.
+    Model-built WavKAN layers always use the factory defaults
+    (wav_version='fast' — layers/kan_conv.py:288; no reference model or
+    train.py flag overrides them)."""
+    if family == "wavkan":
+        return convert_wavkan_conv(sub, groups, "fast")
+    return convert_kan_conv(sub, family, groups)
 
 
 def convert_vggkan(sd: Mapping[str, np.ndarray], model, variables):
@@ -194,30 +217,18 @@ def convert_vggkan(sd: Mapping[str, np.ndarray], model, variables):
     Linear / 'KAN' (B-spline stack) classifier heads.  `variables` is an
     init tree of the target model (provides scope names / shapes).
     """
-    import jax
-
     family = REF_FAMILY[model.kan_conv or "KAN"]
-    params = dict(jax.tree_util.tree_map(np.asarray,
-                                         jax.device_get(variables))["params"])
+    params, stats = _trees(variables)
 
     # feature convs: reference indices include the parameter-less MaxPool
     # entries; enumerate the indices that actually carry conv params
     feat_idx = sorted({int(k.split(".")[1]) for k in sd
                        if k.startswith("features.")})
     for j, idx in enumerate(feat_idx):
-        sub = {k[len(f"features.{idx}."):]: v for k, v in sd.items()
-               if k.startswith(f"features.{idx}.")}
-        # unwrap the L1 module wrapper if present (keys 'module.*')
-        if any(k.startswith("module.") for k in sub):
-            sub = {k[len("module."):]: v for k, v in sub.items()}
-        conv = convert_kan_conv(sub, family, model.groups)
-        scope = f"KanConvND_{j}"
+        scope = _conv_scope(family, j)
         assert scope in params, f"{scope} not in {sorted(params)[:8]}..."
-        tgt = dict(params[scope])
-        for k, v in conv.items():
-            if not k.startswith("__"):
-                tgt[k] = np.asarray(v)
-        params[scope] = tgt
+        _kan_into(params, stats, scope, _sub_sd(sd, f"features.{idx}"),
+                  family, model.groups)
 
     # classifier
     if model.classifier_type == "Linear":
@@ -254,39 +265,25 @@ def convert_vggkan(sd: Mapping[str, np.ndarray], model, variables):
             j += 1
         params[mlp_scope] = mlp
     out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
     for col, v in variables.items():
-        if col != "params":
+        if col not in out:
             out[col] = v
     return out
 
 
-def _graft_feature_convs(sd, params, family: str, groups: int,
+def _graft_feature_convs(sd, params, stats, family: str, groups: int,
                          prefix: str = "features"):
-    """Copy every `<prefix>.{idx}` reference conv into KanConvND_{j},
-    including affine norm params (weight/bias into the auto-named norm
-    child scope)."""
+    """Copy every `<prefix>.{idx}` reference conv into the matching conv
+    scope, including norm params and running stats."""
     feat_idx = sorted({int(k.split(".")[1]) for k in sd
                        if k.startswith(prefix + ".")})
     for j, idx in enumerate(feat_idx):
-        sub = {k[len(f"{prefix}.{idx}."):]: v for k, v in sd.items()
-               if k.startswith(f"{prefix}.{idx}.")}
-        if any(k.startswith("module.") for k in sub):
-            sub = {k[len("module."):]: v for k, v in sub.items()}
-        conv = convert_kan_conv(sub, family, groups)
-        scope = f"KanConvND_{j}"
+        scope = _conv_scope(family, j)
         assert scope in params, f"{scope} not in {sorted(params)[:8]}..."
-        tgt = dict(params[scope])
-        for k, v in conv.items():
-            if not k.startswith("__"):
-                tgt[k] = np.asarray(v)
-        np_ = conv.get("__norm_params__")
-        if np_:
-            nscope = next((k for k in tgt if "Norm" in k), None)
-            assert nscope is not None, f"no norm scope in {sorted(tgt)}"
-            ns = dict(tgt[nscope])
-            ns.update({k: np.asarray(v) for k, v in np_.items()})
-            tgt[nscope] = ns
-        params[scope] = tgt
+        _kan_into(params, stats, scope, _sub_sd(sd, f"{prefix}.{idx}"),
+                  family, groups)
 
 
 # ------------------------------------------------------------------ shared
@@ -314,9 +311,9 @@ def _norm_scope(scope_dict):
 
 
 def _graft_kanconv(pscope, sscope, sub, family: str, groups: int):
-    """Reference KAN conv layer state_dict -> one KanConvND scope
-    (params dict + batch_stats dict, both mutated in place)."""
-    conv = convert_kan_conv(sub, family, groups)
+    """Reference KAN conv layer state_dict -> one KanConvND / WavKANConvND
+    scope (params dict + batch_stats dict, both mutated in place)."""
+    conv = _convert_any_conv(sub, family, groups)
     scoped_stats = conv.pop("__scoped_stats__", None)
     norm_params = conv.pop("__norm_params__", None)
     norm_stats = conv.pop("__norm_stats__", None)
@@ -429,7 +426,7 @@ def convert_mobilenet_v2(sd: Mapping[str, np.ndarray], model, variables):
     params, stats = _trees(variables)
     setting = V2_KAN_SMALL if model.arch == "kan_small" else V2_DEFAULT
 
-    _kan_into(params, stats, "KanConvND_0", _sub_sd(sd, "features.0"),
+    _kan_into(params, stats, _conv_scope(family, 0), _sub_sd(sd, "features.0"),
               family, model.groups)
     kan_i, std_i, n = 1, 0, 1
     c_in = _make_divisible(32 * model.width_mult, model.round_nearest)
@@ -439,28 +436,28 @@ def convert_mobilenet_v2(sd: Mapping[str, np.ndarray], model, variables):
             hidden = int(round(c_in * t))
             j = 0
             if t != 1:
-                _kan_into(params, stats, f"KanConvND_{kan_i}",
+                _kan_into(params, stats, _conv_scope(family, kan_i),
                           _sub_sd(sd, f"features.{n}.conv.{j}"),
                           family, model.groups)
                 kan_i += 1
                 j += 1
             sub = _sub_sd(sd, f"features.{n}.conv.{j}")
             if model.replace_depthwise:
-                _kan_into(params, stats, f"KanConvND_{kan_i}", sub,
+                _kan_into(params, stats, _conv_scope(family, kan_i), sub,
                           family, hidden)
                 kan_i += 1
             else:
                 _std_into(params, stats, f"StdConvBlock_{std_i}", sub)
                 std_i += 1
             j += 1
-            _kan_into(params, stats, f"KanConvND_{kan_i}",
+            _kan_into(params, stats, _conv_scope(family, kan_i),
                       _sub_sd(sd, f"features.{n}.conv.{j}"),
                       family, model.groups)
             kan_i += 1
             n += 1
             c_in = c_out
     # last 1x1 conv
-    _kan_into(params, stats, f"KanConvND_{kan_i}",
+    _kan_into(params, stats, _conv_scope(family, kan_i),
               _sub_sd(sd, f"features.{n}"), family, model.groups)
 
     if model.classifier_type != "KAN":
@@ -496,7 +493,7 @@ def convert_mobilenet_v1(sd: Mapping[str, np.ndarray], model, variables):
     def any_into(sub, groups):
         nonlocal kan_i, std_i
         if kan:
-            _kan_into(params, stats, f"KanConvND_{kan_i}", sub, family,
+            _kan_into(params, stats, _conv_scope(family, kan_i), sub, family,
                       groups)
             kan_i += 1
         else:
@@ -508,7 +505,7 @@ def convert_mobilenet_v1(sd: Mapping[str, np.ndarray], model, variables):
     for n, (c, s_) in enumerate(V1_SETTING, start=1):
         dw = _sub_sd(sd, f"features.{n}.depthwise")
         if kan and model.replace_depthwise:
-            _kan_into(params, stats, f"KanConvND_{kan_i}", dw, family, c_in)
+            _kan_into(params, stats, _conv_scope(family, kan_i), dw, family, c_in)
             kan_i += 1
         else:
             _std_into(params, stats, f"StdConvBlock_{std_i}", dw)
@@ -546,9 +543,9 @@ def convert_mobilenet_v3(sd: Mapping[str, np.ndarray], model, variables):
                                 model.reduced_tail, model.dilated)
 
     # stem + final 1x1 are top-level factory convs
-    _kan_into(params, stats, "KanConvND_0", _sub_sd(sd, "features.0"),
+    _kan_into(params, stats, _conv_scope(family, 0), _sub_sd(sd, "features.0"),
               family, model.groups)
-    _kan_into(params, stats, "KanConvND_1",
+    _kan_into(params, stats, _conv_scope(family, 1),
               _sub_sd(sd, f"features.{len(cfgs) + 1}"), family, model.groups)
 
     for n, cnf in enumerate(cfgs, start=1):
@@ -558,14 +555,14 @@ def convert_mobilenet_v3(sd: Mapping[str, np.ndarray], model, variables):
         j = 0
         kan_i = 0
         if cnf.expanded_channels != cnf.input_channels:
-            _kan_into(bp, bs, f"KanConvND_{kan_i}",
+            _kan_into(bp, bs, _conv_scope(family, kan_i),
                       _sub_sd(sd, f"features.{n}.block.{j}"),
                       family, model.groups)
             kan_i += 1
             j += 1
         sub = _sub_sd(sd, f"features.{n}.block.{j}")
         if model.replace_depthwise:
-            _kan_into(bp, bs, f"KanConvND_{kan_i}", sub, family,
+            _kan_into(bp, bs, _conv_scope(family, kan_i), sub, family,
                       cnf.expanded_channels)
             kan_i += 1
         else:
@@ -575,7 +572,7 @@ def convert_mobilenet_v3(sd: Mapping[str, np.ndarray], model, variables):
             _se_into(bp, "SqueezeExcitation_0",
                      _sub_sd(sd, f"features.{n}.block.{j}"))
             j += 1
-        _kan_into(bp, bs, f"KanConvND_{kan_i}",
+        _kan_into(bp, bs, _conv_scope(family, kan_i),
                   _sub_sd(sd, f"features.{n}.block.{j}"),
                   family, model.groups)
         params[bscope] = bp
@@ -614,9 +611,9 @@ def convert_efficientnetv2(sd: Mapping[str, np.ndarray], model, variables):
     params, stats = _trees(variables)
     settings = list(model.inverted_residual_setting)
 
-    _kan_into(params, stats, "KanConvND_0", _sub_sd(sd, "stem"),
+    _kan_into(params, stats, _conv_scope(family, 0), _sub_sd(sd, "stem"),
               family, model.groups)
-    _kan_into(params, stats, "KanConvND_1", _sub_sd(sd, "head_conv"),
+    _kan_into(params, stats, _conv_scope(family, 1), _sub_sd(sd, "head_conv"),
               family, model.groups)
 
     b = 0
@@ -635,21 +632,21 @@ def convert_efficientnetv2(sd: Mapping[str, np.ndarray], model, variables):
             kan_i = 0
             if cfg.block_type == "fused":
                 # expand kxk (+ project 1x1 when expanding)
-                _kan_into(bp, bs, "KanConvND_0", _sub_sd(sd, f"{pre}.0"),
+                _kan_into(bp, bs, _conv_scope(family, 0), _sub_sd(sd, f"{pre}.0"),
                           family, model.groups)
                 if expanded != ci:
-                    _kan_into(bp, bs, "KanConvND_1",
+                    _kan_into(bp, bs, _conv_scope(family, 1),
                               _sub_sd(sd, f"{pre}.1"), family, model.groups)
             else:
                 if expanded != ci:
-                    _kan_into(bp, bs, f"KanConvND_{kan_i}",
+                    _kan_into(bp, bs, _conv_scope(family, kan_i),
                               _sub_sd(sd, f"{pre}.{k}"), family,
                               model.groups)
                     kan_i += 1
                     k += 1
                 sub = _sub_sd(sd, f"{pre}.{k}")
                 if model.replace_depthwise:
-                    _kan_into(bp, bs, f"KanConvND_{kan_i}", sub, family,
+                    _kan_into(bp, bs, _conv_scope(family, kan_i), sub, family,
                               expanded)
                     kan_i += 1
                 else:
@@ -659,7 +656,7 @@ def convert_efficientnetv2(sd: Mapping[str, np.ndarray], model, variables):
                     _se_into(bp, "SqueezeExcitation_0",
                              _sub_sd(sd, f"{pre}.{k}"))
                     k += 1
-                _kan_into(bp, bs, f"KanConvND_{kan_i}",
+                _kan_into(bp, bs, _conv_scope(family, kan_i),
                           _sub_sd(sd, f"{pre}.{k}"), family, model.groups)
             params[bscope] = bp
             if bs:
@@ -686,12 +683,9 @@ def convert_alexnet(sd: Mapping[str, np.ndarray], model, variables):
     """Migrate a reference AlexNetKAN state_dict (models/kan_alexnet.py:11-
     313) into convkan_tpu.models.AlexNetKAN variables (Linear or 'AlexNet'
     classifier; kanconv features of any family)."""
-    import jax
-
     family = REF_FAMILY[model.kan_conv or "KAN"]
-    params = dict(jax.tree_util.tree_map(np.asarray,
-                                         jax.device_get(variables))["params"])
-    _graft_feature_convs(sd, params, family, model.groups)
+    params, stats = _trees(variables)
+    _graft_feature_convs(sd, params, stats, family, model.groups)
 
     # classifier Sequential uses NAMED modules fc1/fc2/fc3
     # (kan_alexnet.py:178-224) -> our Linear_0/1/2
@@ -705,7 +699,9 @@ def convert_alexnet(sd: Mapping[str, np.ndarray], model, variables):
         }
 
     out = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
     for col, v in variables.items():
-        if col != "params":
+        if col not in out:
             out[col] = v
     return out

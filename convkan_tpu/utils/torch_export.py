@@ -41,6 +41,7 @@ __all__ = [
     "export_vggkan_state_dict", "export_alexnet_state_dict",
     "export_mobilenet_v1_state_dict", "export_mobilenet_v2_state_dict",
     "export_mobilenet_v3_state_dict", "export_efficientnetv2_state_dict",
+    "export_wavkan_conv_state_dict",
     "export_kan_conv_state_dict",
 ]
 
@@ -133,27 +134,77 @@ def export_kan_conv_state_dict(params: Mapping[str, Any], family: str,
                 sd[f"layer_norm.{g}.num_batches_tracked"] = np.asarray(
                     0, np.int64)
     else:
-        # full-width output norm -> per-group ModuleList slices
-        norm_scopes = [k for k in scopes if not k.startswith("input_norm")]
-        if norm_scopes:
-            (scope,) = norm_scopes
-            w = scopes[scope]
-            if "weight" in w:
-                for g, (wg, bg) in enumerate(zip(
-                        np.split(np.asarray(w["weight"]), groups),
-                        np.split(np.asarray(w["bias"]), groups))):
-                    sd[f"layer_norm.{g}.weight"] = wg
+        _export_group_norms(scopes, stats, groups, sd)
+    return sd
+
+
+def _export_group_norms(scopes, stats, groups, sd):
+    """Full-width output norm params/stats -> per-group layer_norm
+    ModuleList slices (inverse of torch_compat._convert_group_norms)."""
+    # our norm impls may keep params/stats broadcast-shaped (1,..,C);
+    # the reference ModuleList entries are flat (C/g,)
+    norm_scopes = [k for k in scopes if not k.startswith("input_norm")]
+    if norm_scopes:
+        (scope,) = norm_scopes
+        w = scopes[scope]
+        if "weight" in w:
+            for g, wg in enumerate(np.split(
+                    np.asarray(w["weight"]).reshape(-1), groups)):
+                sd[f"layer_norm.{g}.weight"] = wg
+            # weight-only affine norms (RMSNorm) carry no bias
+            if "bias" in w:
+                for g, bg in enumerate(np.split(
+                        np.asarray(w["bias"]).reshape(-1), groups)):
                     sd[f"layer_norm.{g}.bias"] = bg
-        for scope, s in stats.items():
-            if scope.startswith("input_norm"):
-                continue
-            for g, (mg, vg) in enumerate(zip(
-                    np.split(np.asarray(s["mean"]), groups),
-                    np.split(np.asarray(s["var"]), groups))):
-                sd[f"layer_norm.{g}.running_mean"] = mg
-                sd[f"layer_norm.{g}.running_var"] = vg
-                sd[f"layer_norm.{g}.num_batches_tracked"] = np.asarray(
-                    0, np.int64)
+    for scope, s in stats.items():
+        if scope.startswith("input_norm"):
+            continue
+        for g, (mg, vg) in enumerate(zip(
+                np.split(np.asarray(s["mean"]).reshape(-1), groups),
+                np.split(np.asarray(s["var"]).reshape(-1), groups))):
+            sd[f"layer_norm.{g}.running_mean"] = mg
+            sd[f"layer_norm.{g}.running_var"] = vg
+            sd[f"layer_norm.{g}.num_batches_tracked"] = np.asarray(
+                0, np.int64)
+    return sd
+
+
+def export_wavkan_conv_state_dict(params: Mapping[str, Any], groups: int,
+                                  wav_version: str = "fast",
+                                  stats: Mapping[str, Any] = None
+                                  ) -> Dict[str, np.ndarray]:
+    """One WavKANConvND param scope -> the reference WavKANConvNDLayer
+    state_dict entries (inverse of `torch_compat.convert_wavkan_conv`),
+    in any of the three reference engine layouts
+    (wav_kan_layers.py:113-338)."""
+    sd: Dict[str, np.ndarray] = {}
+    p = {k: np.asarray(v) for k, v in params.items()
+         if not isinstance(v, Mapping)}
+    scopes = {k: v for k, v in params.items() if isinstance(v, Mapping)}
+
+    _split_group_convs(p["base_w"], "base_conv", groups, sd)
+    _, out_g, in_g = p["scale"].shape
+    nd_sp = p["wavelet_w"].ndim - 2
+    st_shape = (1, out_g, in_g) + (1,) * nd_sp  # wav_kan_layers.py:119-122
+    for g in range(groups):
+        pre = f"wavelet_conv.{g}"
+        sd[f"{pre}.scale"] = p["scale"][g].reshape(st_shape)
+        sd[f"{pre}.translation"] = p["translation"][g].reshape(st_shape)
+        w = _oihw(p["wavelet_w"][..., g * out_g:(g + 1) * out_g])
+        if wav_version == "fast":
+            sd[f"{pre}.wavelet_weights.weight"] = w     # (out_g, in_g, *k)
+        elif wav_version == "base":
+            for o in range(out_g):                      # per-o conv list
+                sd[f"{pre}.wavelet_weights.{o}.weight"] = w[o:o + 1]
+        elif wav_version == "fast_plus_one":
+            sd[f"{pre}.wavelet_weights.weight"] = w.reshape(
+                (out_g, 1) + w.shape[1:])               # (out_g, 1, in_g, *k)
+        else:
+            raise ValueError(wav_version)
+        sd[f"{pre}.wavelet_out.weight"] = _oihw(
+            p["wavelet_out_w"][..., g * out_g:(g + 1) * out_g])
+
+    _export_group_norms(scopes, dict(stats or {}), groups, sd)
     return sd
 
 
@@ -212,13 +263,23 @@ def _conv_kw(model, family):
     return kw
 
 
+def _export_any_conv(pscope, family, groups, stats, kw):
+    """Dispatch one conv scope to the right exporter.  Model-built WavKAN
+    layers always use the factory-default 'fast' engine
+    (layers/kan_conv.py:288; no reference model flag overrides it)."""
+    if family == "wavkan":
+        return export_wavkan_conv_state_dict(pscope, groups, stats=stats)
+    return export_kan_conv_state_dict(pscope, family, groups, stats=stats,
+                                      **kw)
+
+
 def export_vggkan_state_dict(model, variables) -> Dict[str, np.ndarray]:
     """VGGKAN variables -> reference kan_vgg state_dict (flat numpy).
 
     Inverse of `torch_compat.convert_vggkan`; supports the Linear and
     'KAN' (B-spline stack) classifier heads it supports."""
     from ..models.vgg import cfgs
-    from .torch_compat import REF_FAMILY
+    from .torch_compat import REF_FAMILY, _conv_scope
 
     family = REF_FAMILY[model.kan_conv or "KAN"]
     params, stats = _np_trees(variables)
@@ -230,17 +291,16 @@ def export_vggkan_state_dict(model, variables) -> Dict[str, np.ndarray]:
     for idx, v in enumerate(cfgs[model.arch]):
         if v == "M":
             continue
-        scope = f"KanConvND_{j}"
-        layer_sd = export_kan_conv_state_dict(
+        scope = _conv_scope(family, j)
+        layer_sd = _export_any_conv(
             params[scope], family, model.groups,
-            stats=stats.get(scope, {}), **_conv_kw(model, family))
+            stats.get(scope, {}), _conv_kw(model, family))
         for k, val in layer_sd.items():
             sd[f"features.{idx}.{k}"] = val
         j += 1
 
     if model.classifier_type == "Linear":
-        sd["classifier.1.weight"] = params["Linear_0"]["w"].T
-        sd["classifier.1.bias"] = params["Linear_0"]["b"]
+        _emit(sd, "classifier.1", _export_linear(params["Linear_0"]))
     elif model.classifier_type == "KAN":
         mlp_scope = next(k for k in params if k.startswith("KanMLP"))
         mlp = params[mlp_scope]
@@ -271,7 +331,7 @@ def export_alexnet_state_dict(model, variables) -> Dict[str, np.ndarray]:
     """AlexNetKAN variables -> reference kan_alexnet state_dict
     (inverse of torch_compat.convert_alexnet; kanconv features + the
     named fc1/fc2/fc3 classifier Linears)."""
-    from .torch_compat import REF_FAMILY
+    from .torch_compat import REF_FAMILY, _conv_scope
 
     family = REF_FAMILY[model.kan_conv or "KAN"]
     params, stats = _np_trees(variables)
@@ -279,10 +339,9 @@ def export_alexnet_state_dict(model, variables) -> Dict[str, np.ndarray]:
 
     sd: Dict[str, np.ndarray] = {}
     for j, idx in enumerate(_ALEXNET_FEAT_IDX):
-        scope = f"KanConvND_{j}"
-        _emit(sd, f"features.{idx}", export_kan_conv_state_dict(
-            params[scope], family, model.groups,
-            stats=stats.get(scope, {}), **kw))
+        scope = _conv_scope(family, j)
+        _emit(sd, f"features.{idx}", _export_any_conv(
+            params[scope], family, model.groups, stats.get(scope, {}), kw))
     for j, fc in enumerate(("fc1", "fc2", "fc3")):
         if f"Linear_{j}" in params:
             _emit(sd, f"classifier.{fc}",
@@ -298,7 +357,7 @@ def export_mobilenet_v1_state_dict(model, variables) -> Dict[str, np.ndarray]:
     unconstructible — see convert_mobilenet_v1 — but ours exports it
     anyway for completeness)."""
     from ..models.mobilenet import V1_SETTING, _make_divisible
-    from .torch_compat import REF_FAMILY
+    from .torch_compat import REF_FAMILY, _conv_scope
 
     params, stats = _np_trees(variables)
     kan = model.conv_type == "kanconv"
@@ -309,10 +368,10 @@ def export_mobilenet_v1_state_dict(model, variables) -> Dict[str, np.ndarray]:
 
     def kan_out(prefix, groups):
         nonlocal kan_i
-        scope = f"KanConvND_{kan_i}"
+        scope = _conv_scope(family, kan_i)
         kan_i += 1
-        _emit(sd, prefix, export_kan_conv_state_dict(
-            params[scope], family, groups, stats=stats.get(scope, {}), **kw))
+        _emit(sd, prefix, _export_any_conv(
+            params[scope], family, groups, stats.get(scope, {}), kw))
 
     def std_out(prefix):
         nonlocal std_i
@@ -346,7 +405,7 @@ def export_mobilenet_v2_state_dict(model, variables) -> Dict[str, np.ndarray]:
     classifier.fc Linear."""
     from ..models.mobilenet import _make_divisible
     from ..models.mobilenetv2 import V2_DEFAULT, V2_KAN_SMALL
-    from .torch_compat import REF_FAMILY
+    from .torch_compat import REF_FAMILY, _conv_scope
 
     assert model.conv_type == "kanconv", "conv-only variant not supported"
     family = REF_FAMILY[model.kan_conv or "KAN"]
@@ -355,11 +414,12 @@ def export_mobilenet_v2_state_dict(model, variables) -> Dict[str, np.ndarray]:
     kw = _conv_kw(model, family)
     sd: Dict[str, np.ndarray] = {}
 
-    def kan_out(prefix, scope, groups):
-        _emit(sd, prefix, export_kan_conv_state_dict(
-            params[scope], family, groups, stats=stats.get(scope, {}), **kw))
+    def kan_out(prefix, i, groups):
+        scope = _conv_scope(family, i)
+        _emit(sd, prefix, _export_any_conv(
+            params[scope], family, groups, stats.get(scope, {}), kw))
 
-    kan_out("features.0", "KanConvND_0", model.groups)
+    kan_out("features.0", 0, model.groups)
     kan_i, std_i, n = 1, 0, 1
     c_in = _make_divisible(32 * model.width_mult, model.round_nearest)
     for t, c, reps, s_ in setting:
@@ -368,13 +428,11 @@ def export_mobilenet_v2_state_dict(model, variables) -> Dict[str, np.ndarray]:
             hidden = int(round(c_in * t))
             j = 0
             if t != 1:
-                kan_out(f"features.{n}.conv.{j}", f"KanConvND_{kan_i}",
-                        model.groups)
+                kan_out(f"features.{n}.conv.{j}", kan_i, model.groups)
                 kan_i += 1
                 j += 1
             if model.replace_depthwise:
-                kan_out(f"features.{n}.conv.{j}", f"KanConvND_{kan_i}",
-                        hidden)
+                kan_out(f"features.{n}.conv.{j}", kan_i, hidden)
                 kan_i += 1
             else:
                 _emit(sd, f"features.{n}.conv.{j}", _export_std_block(
@@ -382,12 +440,11 @@ def export_mobilenet_v2_state_dict(model, variables) -> Dict[str, np.ndarray]:
                     stats.get(f"StdConvBlock_{std_i}", {})))
                 std_i += 1
             j += 1
-            kan_out(f"features.{n}.conv.{j}", f"KanConvND_{kan_i}",
-                    model.groups)
+            kan_out(f"features.{n}.conv.{j}", kan_i, model.groups)
             kan_i += 1
             n += 1
             c_in = c_out
-    kan_out(f"features.{n}", f"KanConvND_{kan_i}", model.groups)
+    kan_out(f"features.{n}", kan_i, model.groups)
 
     if model.classifier_type != "KAN":
         _emit(sd, "classifier.fc", _export_linear(params["Linear_0"]))
@@ -400,7 +457,7 @@ def export_mobilenet_v3_state_dict(model, variables) -> Dict[str, np.ndarray]:
     convs, features.{n}.block.{j} expand/depthwise/SE/project layers,
     classifier.0/.3 Linears."""
     from ..models.mobilenetv3 import mobilenet_v3_conf
-    from .torch_compat import REF_FAMILY
+    from .torch_compat import REF_FAMILY, _conv_scope
 
     assert model.conv_type == "kanconv", "conv-only variant not supported"
     family = REF_FAMILY[model.kan_conv or "KAN"]
@@ -411,13 +468,13 @@ def export_mobilenet_v3_state_dict(model, variables) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
     def kan_out(prefix, pscope, sscope, groups):
-        _emit(sd, prefix, export_kan_conv_state_dict(
-            pscope, family, groups, stats=sscope, **kw))
+        _emit(sd, prefix, _export_any_conv(pscope, family, groups, sscope,
+                                           kw))
 
-    kan_out("features.0", params["KanConvND_0"],
-            stats.get("KanConvND_0", {}), model.groups)
-    kan_out(f"features.{len(cfg_list) + 1}", params["KanConvND_1"],
-            stats.get("KanConvND_1", {}), model.groups)
+    kan_out("features.0", params[_conv_scope(family, 0)],
+            stats.get(_conv_scope(family, 0), {}), model.groups)
+    kan_out(f"features.{len(cfg_list) + 1}", params[_conv_scope(family, 1)],
+            stats.get(_conv_scope(family, 1), {}), model.groups)
 
     for n, cnf in enumerate(cfg_list, start=1):
         bp = params[f"_MNV3Block_{n - 1}"]
@@ -425,13 +482,13 @@ def export_mobilenet_v3_state_dict(model, variables) -> Dict[str, np.ndarray]:
         j = 0
         kan_i = 0
         if cnf.expanded_channels != cnf.input_channels:
-            kan_out(f"features.{n}.block.{j}", bp[f"KanConvND_{kan_i}"],
-                    bs.get(f"KanConvND_{kan_i}", {}), model.groups)
+            kan_out(f"features.{n}.block.{j}", bp[_conv_scope(family, kan_i)],
+                    bs.get(_conv_scope(family, kan_i), {}), model.groups)
             kan_i += 1
             j += 1
         if model.replace_depthwise:
-            kan_out(f"features.{n}.block.{j}", bp[f"KanConvND_{kan_i}"],
-                    bs.get(f"KanConvND_{kan_i}", {}), cnf.expanded_channels)
+            kan_out(f"features.{n}.block.{j}", bp[_conv_scope(family, kan_i)],
+                    bs.get(_conv_scope(family, kan_i), {}), cnf.expanded_channels)
             kan_i += 1
         else:
             _emit(sd, f"features.{n}.block.{j}", _export_std_block(
@@ -441,8 +498,8 @@ def export_mobilenet_v3_state_dict(model, variables) -> Dict[str, np.ndarray]:
             _emit(sd, f"features.{n}.block.{j}",
                   _export_se(bp["SqueezeExcitation_0"]))
             j += 1
-        kan_out(f"features.{n}.block.{j}", bp[f"KanConvND_{kan_i}"],
-                bs.get(f"KanConvND_{kan_i}", {}), model.groups)
+        kan_out(f"features.{n}.block.{j}", bp[_conv_scope(family, kan_i)],
+                bs.get(_conv_scope(family, kan_i), {}), model.groups)
 
     if model.classifier_type == "Linear":
         _emit(sd, "classifier.0", _export_linear(params["Linear_0"]))
@@ -456,7 +513,7 @@ def export_efficientnetv2_state_dict(model, variables) -> Dict[str, np.ndarray]:
     head_conv, blocks.stage_{i}.{j}.block.{k} Fused-MBConv / MBConv
     layers, classifier.fc (Linear) or .fc2 (HiddenKAN tail)."""
     from ..models.mobilenet import _make_divisible
-    from .torch_compat import REF_FAMILY
+    from .torch_compat import REF_FAMILY, _conv_scope
 
     assert model.conv_type == "kanconv", "conv-only variant not supported"
     family = REF_FAMILY[model.kan_conv or "KAN"]
@@ -465,13 +522,13 @@ def export_efficientnetv2_state_dict(model, variables) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
     def kan_out(prefix, pscope, sscope, groups):
-        _emit(sd, prefix, export_kan_conv_state_dict(
-            pscope, family, groups, stats=sscope, **kw))
+        _emit(sd, prefix, _export_any_conv(pscope, family, groups, sscope,
+                                           kw))
 
-    kan_out("stem", params["KanConvND_0"], stats.get("KanConvND_0", {}),
-            model.groups)
-    kan_out("head_conv", params["KanConvND_1"], stats.get("KanConvND_1", {}),
-            model.groups)
+    kan_out("stem", params[_conv_scope(family, 0)],
+            stats.get(_conv_scope(family, 0), {}), model.groups)
+    kan_out("head_conv", params[_conv_scope(family, 1)],
+            stats.get(_conv_scope(family, 1), {}), model.groups)
 
     b = 0
     for i, cfg in enumerate(model.inverted_residual_setting):
@@ -487,20 +544,20 @@ def export_efficientnetv2_state_dict(model, variables) -> Dict[str, np.ndarray]:
             kan_i = 0
             k = 0
             if cfg.block_type == "fused":
-                kan_out(f"{pre}.0", bp["KanConvND_0"],
-                        bs.get("KanConvND_0", {}), model.groups)
+                kan_out(f"{pre}.0", bp[_conv_scope(family, 0)],
+                        bs.get(_conv_scope(family, 0), {}), model.groups)
                 if expanded != ci:
-                    kan_out(f"{pre}.1", bp["KanConvND_1"],
-                            bs.get("KanConvND_1", {}), model.groups)
+                    kan_out(f"{pre}.1", bp[_conv_scope(family, 1)],
+                            bs.get(_conv_scope(family, 1), {}), model.groups)
             else:
                 if expanded != ci:
-                    kan_out(f"{pre}.{k}", bp[f"KanConvND_{kan_i}"],
-                            bs.get(f"KanConvND_{kan_i}", {}), model.groups)
+                    kan_out(f"{pre}.{k}", bp[_conv_scope(family, kan_i)],
+                            bs.get(_conv_scope(family, kan_i), {}), model.groups)
                     kan_i += 1
                     k += 1
                 if model.replace_depthwise:
-                    kan_out(f"{pre}.{k}", bp[f"KanConvND_{kan_i}"],
-                            bs.get(f"KanConvND_{kan_i}", {}), expanded)
+                    kan_out(f"{pre}.{k}", bp[_conv_scope(family, kan_i)],
+                            bs.get(_conv_scope(family, kan_i), {}), expanded)
                     kan_i += 1
                 else:
                     _emit(sd, f"{pre}.{k}", _export_std_block(
@@ -510,8 +567,8 @@ def export_efficientnetv2_state_dict(model, variables) -> Dict[str, np.ndarray]:
                     _emit(sd, f"{pre}.{k}",
                           _export_se(bp["SqueezeExcitation_0"]))
                     k += 1
-                kan_out(f"{pre}.{k}", bp[f"KanConvND_{kan_i}"],
-                        bs.get(f"KanConvND_{kan_i}", {}), model.groups)
+                kan_out(f"{pre}.{k}", bp[_conv_scope(family, kan_i)],
+                        bs.get(_conv_scope(family, kan_i), {}), model.groups)
             b += 1
 
     if model.classifier_type == "Linear":

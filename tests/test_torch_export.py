@@ -194,3 +194,38 @@ def test_effv2_gram_export_roundtrip():
                                          classifier_type="Linear",
                                          affine=True),
         convert_efficientnetv2, export_efficientnetv2_state_dict)
+
+
+@pytest.mark.parametrize("ver", ["base", "fast", "fast_plus_one"])
+def test_wavkan_conv_export_roundtrip(ver):
+    """All three reference WavKAN engine layouts (wav_kan_layers.py:113-338:
+    per-o conv list / grouped flat conv / (d+1)-dim conv) export back
+    bit-exactly from grafted layer fixtures, incl. scale/translation
+    shapes and per-group BatchNorm running stats."""
+    import jax.numpy as jnp
+
+    from convkan_tpu.nn.wav_conv import WavKANConvND
+    from convkan_tpu.utils.torch_compat import (_convert_group_norms,
+                                                convert_wavkan_conv)
+    from convkan_tpu.utils.torch_export import export_wavkan_conv_state_dict
+
+    from golden_utils import graft, load_golden
+
+    x, _, sd = load_golden(f"conv2d_wavkan_{ver}_g2")
+    module = WavKANConvND(input_dim=6, output_dim=8, kernel_size=3, ndim=2,
+                          padding=1, groups=2, wav_version=ver,
+                          wavelet_type="mexican_hat",
+                          param_dtype=jnp.float64)
+    xh = nchw_to_nhwc(x)
+    variables = module.init(jax.random.PRNGKey(0), xh, train=False)
+    converted = convert_wavkan_conv(sd, groups=2, wav_version=ver)
+    np_, ns_ = _convert_group_norms(sd, "layer_norm", 2)
+    if np_:
+        converted["__norm_params__"] = np_
+    if ns_:
+        converted["__norm_stats__"] = ns_
+    variables = graft(variables, converted, norm_scope="BatchNorm_0")
+    out = export_wavkan_conv_state_dict(
+        variables["params"], groups=2, wav_version=ver,
+        stats=variables.get("batch_stats", {}))
+    _check(out, sd)
