@@ -101,22 +101,22 @@ def measure_vgg_train(batch=BATCH, steps=STEPS, bf16_basis=False,
     from convkan_tpu.train.loop import make_train_step
     from convkan_tpu.train.state import create_train_state
 
-    from convkan_tpu.nn.kan_conv import KanConvND
+    from convkan_tpu.nn.kan_conv import set_perf_defaults
 
     if bf16_basis:
-        # bench-local default override (flax module defaults are class
-        # attributes); the --bf16_basis variant row is explicitly NOT
-        # torch-bit-exact — see BENCH_NOTES.md
-        KanConvND.basis_bf16 = True
+        # process-default override (a bare class-attribute assignment on
+        # a flax dataclass is a no-op); the --bf16_basis variant row is
+        # explicitly NOT torch-bit-exact — see BENCH_NOTES.md
+        set_perf_defaults(basis_bf16=True)
     if stack_basis:
         # basis assembly A/B variants (see KanConvND.basis_build):
         # 'stack' is bit-identical; 'bcast' is the single-operand
         # broadcast form (f32-roundoff-equal for the kan family)
-        KanConvND.basis_build = stack_basis
+        set_perf_defaults(basis_build=stack_basis)
     if "--island_bf16" in sys.argv:
         # native-bf16 basis+contraction island (wide cotangents stay
         # bf16 in HBM) — see KanConvND.island_bf16
-        KanConvND.island_bf16 = True
+        set_perf_defaults(island_bf16=True)
     model = vggkan(3, 10, arch=ARCH, kan_conv="KAN", classifier_type="Linear")
     x0 = jnp.zeros((batch, 32, 32, 3), jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(0), x0,
@@ -478,8 +478,8 @@ def measure_serving(batches=(1, 8, 1024), steps=100, bf16=False):
         # the supported mixed-precision path (blanket-casting the param
         # tree instead leaves the f32 basis constants promoting the conv
         # lhs back to f32, a dtype mismatch)
-        from convkan_tpu.nn.kan_conv import KanConvND
-        KanConvND.island_bf16 = True
+        from convkan_tpu.nn.kan_conv import set_perf_defaults
+        set_perf_defaults(island_bf16=True)
     model = vggkan(3, 10, arch=ARCH, kan_conv="KAN", classifier_type="Linear")
     state = create_train_state(model, jax.random.PRNGKey(0),
                                jnp.zeros((8, 32, 32, 3), jnp.float32),

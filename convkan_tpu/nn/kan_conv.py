@@ -132,6 +132,30 @@ FAMILIES: dict[str, ConvFamily] = {
 }
 
 
+# Process-wide defaults for the perf-only knobs below.  Flax modules are
+# dataclasses: field defaults are baked into the generated __init__ at
+# class creation, so assigning `KanConvND.basis_bf16 = True` after the
+# fact does NOT reach instances.  Surfaces that want to flip a knob for
+# every layer built afterwards (bench.py variants, serving bf16) call
+# set_perf_defaults(); an explicit constructor kwarg always wins.
+_PERF_DEFAULTS = {"basis_bf16": False, "island_bf16": False,
+                  "basis_build": "concat"}
+
+
+def set_perf_defaults(**kwargs):
+    """Set process-wide defaults for KanConvND's perf-only knobs
+    (basis_bf16 / island_bf16 / basis_build).  Returns the previous
+    values so callers can restore them."""
+    prev = {}
+    for k, v in kwargs.items():
+        if k not in _PERF_DEFAULTS:
+            raise KeyError(f"unknown perf knob {k!r}; "
+                           f"have {sorted(_PERF_DEFAULTS)}")
+        prev[k] = _PERF_DEFAULTS[k]
+        _PERF_DEFAULTS[k] = v
+    return prev
+
+
 def _kprod(kernel_size, ndim):
     if isinstance(kernel_size, (tuple, list)):
         p = 1
@@ -189,7 +213,8 @@ class KanConvND(nn.Module):
     # opt-in: materialize the basis tensor in bf16 (halves the step's
     # dominant HBM traffic; MXU consumes bf16 natively with f32
     # accumulation).  Off by default — not torch-bit-exact.
-    basis_bf16: bool = False
+    # None = use the process default (set_perf_defaults).
+    basis_bf16: Any = None
     # opt-in: run the whole basis->contraction island natively in bf16 —
     # cast the NARROW pre-expansion input (and the weights) to bf16, so
     # the wide (..., K*C) basis tensor AND its autodiff cotangent live in
@@ -199,14 +224,16 @@ class KanConvND(nn.Module):
     # output — measured null).  Conv output is cast back to f32 before
     # norm/activation.  NOT torch-bit-exact; standard bf16 mixed
     # precision.  See BENCH_NOTES.md for the measurement.
-    island_bf16: bool = False
+    # None = use the process default (set_perf_defaults).
+    island_bf16: Any = None
     # how the degree-major basis buffer is assembled from the K column
     # list: 'concat' (jnp.concatenate — lowers to a K-ary chain of
     # dynamic-update-slice fusions, each re-reading x) or 'stack'
     # (stack on a new minor-2 axis + collapsing reshape — bit-identical
     # rows k*C+c, but one fusible producer).  Perf-only switch; see
     # BENCH_NOTES.md for the measured verdict.
-    basis_build: str = "concat"
+    # None = use the process default (set_perf_defaults).
+    basis_build: Any = None
     # spatial sharding: set a Mesh (+ axis name) to run both convs with the
     # batch-height plane sharded over that axis via halo exchange
     # (parallel/halo.py) — stride-1/'same'/groups-1 2D configs only; other
@@ -219,6 +246,22 @@ class KanConvND(nn.Module):
     @property
     def spec(self) -> ConvFamily:
         return FAMILIES[self.family]
+
+    # perf knobs resolve None -> the process default (set_perf_defaults)
+    @property
+    def _basis_bf16_on(self) -> bool:
+        return (_PERF_DEFAULTS["basis_bf16"] if self.basis_bf16 is None
+                else self.basis_bf16)
+
+    @property
+    def _island_bf16_on(self) -> bool:
+        return (_PERF_DEFAULTS["island_bf16"] if self.island_bf16 is None
+                else self.island_bf16)
+
+    @property
+    def _basis_build_mode(self) -> str:
+        return (_PERF_DEFAULTS["basis_build"] if self.basis_build is None
+                else self.basis_build)
 
     @property
     def in_g(self) -> int:
@@ -636,7 +679,7 @@ class KanConvND(nn.Module):
                 t = self._channel_dropout(t, train)
             t = self._fastkan_input_norm(t, train)
 
-        if self.island_bf16:
+        if self._island_bf16_on:
             # bf16 compute island (see flag docstring): cast the NARROW
             # tensors; everything wide downstream (basis, cotangents) is
             # then natively bf16.  Squash/norm above stay f32.
@@ -658,7 +701,7 @@ class KanConvND(nn.Module):
         cols = None
         flat_bcast = None
         if self.groups == 1 and not (spec.dropout_site == "basis" and train):
-            if self.basis_build == "bcast":
+            if self._basis_build_mode == "bcast":
                 flat_bcast = self._expand_flat(t)
             if flat_bcast is None:
                 cols = self._expand_cols(t, beta=beta)
@@ -667,7 +710,7 @@ class KanConvND(nn.Module):
                 # rows k*C + c, either way; 'stack' collapses a new
                 # minor-2 axis so the whole buffer has ONE elementwise
                 # producer instead of a len(parts)-ary concat chain
-                if self.basis_build == "stack":
+                if self._basis_build_mode == "stack":
                     C_ = parts[0].shape[-1]
                     return jnp.stack(parts, axis=-2).reshape(
                         parts[0].shape[:-1] + (len(parts) * C_,))
@@ -679,7 +722,7 @@ class KanConvND(nn.Module):
                 flat_dm = flat_bcast
                 K_count = flat_bcast.shape[-1] // self.input_dim
             elif (base_in is not None and not spec.basis_act
-                    and self.basis_build == "stack"
+                    and self._basis_build_mode == "stack"
                     and base_in.shape[-1] == cols[0].shape[-1]):
                 # base path joins the same stack (rows [K*C | C])
                 flat_dm = _assemble(cols + [base_in])
@@ -706,7 +749,7 @@ class KanConvND(nn.Module):
                 if not base_folded:
                     flat_dm = jnp.concatenate([flat_dm, base_in], axis=-1)
                 pw = jnp.concatenate([pw, base_w], axis=-2)
-            if self.basis_bf16 and flat_dm.dtype == jnp.float32:
+            if self._basis_bf16_on and flat_dm.dtype == jnp.float32:
                 # opt-in perf mode: store the materialized basis tensor
                 # (the step's dominant HBM traffic) in bf16; the MXU
                 # consumes bf16 natively and accumulates f32.  NOT

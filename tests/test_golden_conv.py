@@ -289,3 +289,31 @@ def test_island_bf16_close_and_f32_contract():
         for leaf in jax.tree_util.tree_leaves(g):
             assert leaf.dtype == jnp.float32
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_set_perf_defaults_reaches_new_instances():
+    """Flax modules are dataclasses — assigning KanConvND.basis_bf16 after
+    class creation is a silent no-op (the default is baked into __init__).
+    set_perf_defaults is the working process-wide override; explicit
+    constructor kwargs still win.  Regression for the bench A/B variants,
+    which once used the no-op form and measured the baseline."""
+    from convkan_tpu.nn.kan_conv import set_perf_defaults
+
+    kw = dict(input_dim=3, output_dim=4, kernel_size=3, ndim=2, family="kan")
+    m0 = KanConvND(**kw)
+    assert (m0._basis_bf16_on, m0._island_bf16_on, m0._basis_build_mode) == (
+        False, False, "concat")
+    prev = set_perf_defaults(basis_bf16=True, island_bf16=True,
+                             basis_build="stack")
+    try:
+        m1 = KanConvND(**kw)
+        assert (m1._basis_bf16_on, m1._island_bf16_on,
+                m1._basis_build_mode) == (True, True, "stack")
+        m2 = KanConvND(basis_bf16=False, island_bf16=False,
+                       basis_build="concat", **kw)
+        assert (m2._basis_bf16_on, m2._island_bf16_on,
+                m2._basis_build_mode) == (False, False, "concat")
+    finally:
+        set_perf_defaults(**prev)
+    with pytest.raises(KeyError):
+        set_perf_defaults(nonexistent_knob=1)
