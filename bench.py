@@ -263,9 +263,14 @@ def measure_fastkan_mlp(batch=8192, steps=500):
 
 
 # ------------------------------------------------------------ config 4
-def measure_wavkan(batch=256, steps=10, use_pallas="auto"):
+def measure_wavkan(batch=256, steps=10, use_pallas="auto",
+                   island_bf16=False):
     """WavKAN conv stack (mexican_hat, fast) CIFAR-100 train step
-    (config 4; stack shape from wav_kan_layers.py:469-476)."""
+    (config 4; stack shape from wav_kan_layers.py:469-476).
+
+    island_bf16=True materializes the psi tensor (this config's dominant
+    HBM traffic, profiled at ~82% of roofline) in bf16 — the opt-in
+    non-bit-exact variant, see WavKANConvND.island_bf16."""
     import flax.linen as nn
     import jax
     import jax.numpy as jnp
@@ -283,7 +288,8 @@ def measure_wavkan(batch=256, steps=10, use_pallas="auto"):
             for c in (32, 64, 128):
                 x = WavKANConv2DLayer(
                     x.shape[-1], c, 3, padding=1, wavelet_type="mexican_hat",
-                    wav_version="fast", use_pallas=use_pallas)(x, train=train)
+                    wav_version="fast", use_pallas=use_pallas,
+                    island_bf16=True if island_bf16 else None)(x, train=train)
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x = adaptive_avg_pool(x, (1, 1)).reshape(x.shape[0], -1)
             return Linear(x.shape[-1], 100)(x)
@@ -614,6 +620,17 @@ def main():
         return
     if "--serving_fold_bn" in sys.argv:
         out = measure_serving_fold_bn()
+        out["device_kind"] = device_kind
+        print(json.dumps(out))
+        return
+    if "--wavkan" in sys.argv:
+        # standalone config-4 row (A/B surface for the psi-bf16 island)
+        out = measure_wavkan(island_bf16="--island_bf16" in sys.argv)
+        if "--island_bf16" in sys.argv:
+            out["metric"] += "_islandbf16"
+        out.update(_mfu_fields(out["value"],
+                               out["flops_per_step"] / out["batch"],
+                               device_kind))
         out["device_kind"] = device_kind
         print(json.dumps(out))
         return

@@ -29,6 +29,7 @@ from ..basis.wavelet import WAVELET_TYPES, wavelet
 from ..ops.conv import conv_nd
 from ..utils import initializers as init_lib
 from ..utils.norms import BatchNorm, make_norm
+from .kan_conv import _PERF_DEFAULTS
 
 
 class WavKANConvND(nn.Module):
@@ -57,6 +58,22 @@ class WavKANConvND(nn.Module):
     # True still forces the kernels (parity-tested).
     use_pallas: Any = "auto"
     pallas_interpret: bool = False
+    # opt-in: run the psi->grouped-conv island natively in bf16 — cast the
+    # NARROW pre-expansion input and (translation, scale, wavelet_w) to
+    # bf16, so the wide (B,*S,G*out_g*in_g) psi tensor AND its autodiff
+    # cotangent live in HBM as bf16.  psi materialization is this config's
+    # dominant traffic, profiled at ~82% of the HBM roofline
+    # (BENCH_NOTES.md config 4) — halving its bytes is the one lever XLA
+    # cannot take itself.  Conv output is cast back to f32 before the 1x1
+    # mix.  NOT torch-bit-exact; standard bf16 mixed precision.
+    # None = the process default, shared with KanConvND
+    # (kan_conv.set_perf_defaults(island_bf16=...)).
+    island_bf16: Any = None
+
+    @property
+    def _island_bf16_on(self) -> bool:
+        return (_PERF_DEFAULTS["island_bf16"] if self.island_bf16 is None
+                else self.island_bf16)
 
     @property
     def in_g(self):
@@ -145,6 +162,13 @@ class WavKANConvND(nn.Module):
 
         y = self._maybe_fused_psi_conv(x, wav_w, translation, scale, kshape)
         if y is None:
+            xw, tw, sw, ww = x, translation, scale, wav_w
+            if self._island_bf16_on and x.dtype == jnp.float32:
+                # bf16 compute island (see flag docstring): cast the
+                # NARROW tensors; psi, its cotangent, and the grouped
+                # conv are then natively bf16.  Base path / norm stay f32.
+                xw, tw, sw, ww = (a.astype(jnp.bfloat16)
+                                  for a in (x, translation, scale, wav_w))
             B = x.shape[0]
             spatial_shape = x.shape[1:-1]
             # (B, *S, G, 1, in_g) - broadcast against (G, out_g, in_g).
@@ -152,9 +176,9 @@ class WavKANConvND(nn.Module):
             # degree-major trick) was measured SLOWER here (12.1k vs
             # 14.4k img/s on config 4): XLA fuses this broadcast form
             # better than 64 explicit slices — see KERNELS.md round 3.
-            xg = x.reshape(
+            xg = xw.reshape(
                 (B,) + spatial_shape + (self.groups, 1, self.in_g))
-            x_scaled = (xg - translation) / scale  # (B, *S, G, out_g, in_g)
+            x_scaled = (xg - tw) / sw  # (B, *S, G, out_g, in_g)
             # channel axis (for shannon's hamming window) is the in_g axis
             psi = wavelet(x_scaled, self.wavelet_type,
                           channel_axis=x_scaled.ndim - 1)
@@ -164,10 +188,12 @@ class WavKANConvND(nn.Module):
                 + (self.groups * self.out_g * self.in_g,)
             )
             y = conv_nd(
-                flat, wav_w, ndim=self.ndim, stride=self.stride,
+                flat, ww, ndim=self.ndim, stride=self.stride,
                 padding=self.padding, dilation=self.dilation,
                 groups=self.groups * self.out_g,
             )
+            if y.dtype != x.dtype:
+                y = y.astype(x.dtype)  # leave the bf16 island before mix
         # 1x1 output mix per group (wavelet_out, :139/:311)
         mix_w = self.param(
             "wavelet_out_w",

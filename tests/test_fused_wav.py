@@ -100,3 +100,48 @@ def test_fused_falls_back_when_unsupported():
         np.testing.assert_allclose(
             np.asarray(fused.apply(v, x, train=False)),
             np.asarray(plain.apply(v, x, train=False)), atol=1e-6)
+
+
+@pytest.mark.parametrize("wavelet_type", WAVELETS)
+def test_wav_island_bf16_close_and_f32_contract(wavelet_type):
+    """island_bf16 (the config-4 psi-traffic lever): output/grads stay
+    f32, values within bf16 tolerance of the f32 path, grads finite —
+    for every wavelet (meyer/shannon exercise the piecewise/windowed
+    branches in bf16)."""
+    kw = dict(input_dim=6, output_dim=8, kernel_size=3, ndim=2, padding=1,
+              groups=2, wavelet_type=wavelet_type, wav_version="fast")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6), jnp.float32)
+    plain = WavKANConvND(use_pallas=False, **kw)
+    isl = WavKANConvND(use_pallas=False, island_bf16=True, **kw)
+    v = _perturbed_init(plain, x)
+    y0 = plain.apply(v, x, train=False)
+    y1 = isl.apply(v, x, train=False)
+    assert y1.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1),
+                               atol=0.15, rtol=0.1)
+
+    def loss(p):
+        out, _ = isl.apply({"params": p, "batch_stats": v["batch_stats"]},
+                           x, train=True, mutable=["batch_stats"],
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        return jnp.sum(out ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert leaf.dtype == jnp.float32
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_wav_island_bf16_process_default():
+    """set_perf_defaults(island_bf16=...) reaches WavKANConvND too (the
+    knob is shared with KanConvND); explicit ctor kwarg wins."""
+    from convkan_tpu.nn.kan_conv import set_perf_defaults
+
+    kw = dict(input_dim=4, output_dim=4, kernel_size=3, ndim=2)
+    assert WavKANConvND(**kw)._island_bf16_on is False
+    prev = set_perf_defaults(island_bf16=True)
+    try:
+        assert WavKANConvND(**kw)._island_bf16_on is True
+        assert WavKANConvND(island_bf16=False, **kw)._island_bf16_on is False
+    finally:
+        set_perf_defaults(**prev)
