@@ -654,6 +654,8 @@ def main():
         for key, fn in (("config1", measure_kanconv_micro),
                         ("config2", measure_fastkan_mlp),
                         ("config4", measure_wavkan),
+                        ("config4_islandbf16",
+                         lambda: measure_wavkan(island_bf16=True)),
                         ("config5", measure_mobilenetv3_224)):
             try:
                 row = fn()

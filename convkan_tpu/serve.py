@@ -1,0 +1,331 @@
+"""Production inference server for trained convkan_tpu models.
+
+The reference has no serving story beyond whole-module pickles
+(evaluations.py:225); its deployment surface ends at `model(x)`.  This
+module completes ours: an HTTP server (stdlib only) over the jitted
+forward with the properties a TPU serving path needs —
+
+  * **shape buckets, compiled once**: batches are padded up to a fixed
+    set of bucket sizes and every bucket is warmed at startup, so no
+    request ever triggers an XLA recompile;
+  * **dynamic batching**: concurrent requests are coalesced (up to
+    ``max_batch``, waiting at most ``batch_timeout_ms``) into one device
+    step — single-request latency stays flat while throughput scales;
+  * **uint8 ingress**: clients send raw image bytes/arrays; dataset
+    normalization (train/data.py constants) runs on device;
+  * optional **BN folding** (utils/fold_bn.py) and **bf16** serving
+    precision, same knobs as `bench.py --serving`.
+
+CLI (train.py's reference-parity flag vocabulary picks the model):
+
+    python -m convkan_tpu.serve --model VGGKAN --arch VGG16_kansmall \\
+        --dataset CIFAR10 --results_dir runs --kind best --port 8421
+
+    curl -s localhost:8421/predict -d '{"instances": [[[..HxWxC..]]]}'
+
+Endpoints: POST /predict  {"instances": [...uint8 HWC arrays...]}
+           -> {"predictions": [[per-class logits]...], "batch": n}
+           GET  /healthz   -> {"ok": true, "model": "...", "buckets": [...]}
+           GET  /metrics   -> request/instance/device-batch counters +
+                              device-step latency p50/p95/p99
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+class InferenceEngine:
+    """Bucketed, dynamically-batched jitted forward.
+
+    Programmatic core of the server (tests drive this directly):
+        eng = InferenceEngine(model, variables, dataset, input_shape)
+        logits = eng.predict(batch_uint8)        # direct, padded+jitted
+        logits = eng.submit(one_uint8_image)     # through the batching queue
+    """
+
+    def __init__(self, model, variables, dataset: str,
+                 input_shape: Sequence[int],
+                 buckets: Sequence[int] = (1, 8, 64),
+                 max_batch: Optional[int] = None,
+                 batch_timeout_ms: float = 2.0,
+                 bf16: bool = False, warmup: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        from .train.data import normalize_batch
+
+        self.model = model
+        self.dataset = dataset
+        self.input_shape = tuple(input_shape)
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        self.max_batch = int(max_batch or self.buckets[-1])
+        self.batch_timeout_s = batch_timeout_ms / 1e3
+
+        def fwd(x_uint8):
+            x = normalize_batch(x_uint8, dataset)
+            if bf16:
+                x = x.astype(jnp.bfloat16)
+            out = model.apply(variables, x, train=False)
+            return out.astype(jnp.float32)
+
+        self._fwd = jax.jit(fwd)
+
+        if warmup:
+            for b in self.buckets:
+                np.asarray(self._fwd(np.zeros((b,) + self.input_shape,
+                                              np.uint8)))
+
+        self._stats_lock = threading.Lock()
+        self._stats = {"requests": 0, "instances": 0, "device_batches": 0}
+        self._latencies_ms: "collections.deque" = collections.deque(
+            maxlen=1024)
+
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._batch_loop, daemon=True)
+        self._worker.start()
+
+    # ---------------------------------------------------------- direct path
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def predict(self, x_uint8: np.ndarray) -> np.ndarray:
+        """Run a whole batch now (padding to the enclosing bucket; batches
+        beyond the largest bucket run in largest-bucket chunks)."""
+        x = np.asarray(x_uint8, np.uint8)
+        if x.shape[1:] != self.input_shape:
+            raise ValueError(
+                f"instance shape {x.shape[1:]} != expected "
+                f"{self.input_shape} for dataset {self.dataset}")
+        outs = []
+        cap = self.buckets[-1]
+        for i in range(0, len(x), cap):
+            chunk = x[i:i + cap]
+            n = len(chunk)
+            b = self._bucket_for(n)
+            if n < b:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((b - n,) + self.input_shape,
+                                     np.uint8)])
+            t0 = time.perf_counter()
+            outs.append(np.asarray(self._fwd(chunk))[:n])
+            ms = (time.perf_counter() - t0) * 1e3
+            with self._stats_lock:
+                self._stats["instances"] += n
+                self._stats["device_batches"] += 1
+                self._latencies_ms.append(ms)
+        return np.concatenate(outs)
+
+    def count_request(self):
+        with self._stats_lock:
+            self._stats["requests"] += 1
+
+    def metrics(self) -> dict:
+        """Counters + device-step latency percentiles (last 1024 steps)."""
+        with self._stats_lock:
+            lat = sorted(self._latencies_ms)
+            out = dict(self._stats)
+        if lat:
+            pct = lambda q: round(lat[min(len(lat) - 1,
+                                          int(q * len(lat)))], 3)  # noqa: E731
+            out["device_step_ms"] = {"p50": pct(0.50), "p95": pct(0.95),
+                                     "p99": pct(0.99), "n": len(lat)}
+        return out
+
+    # ------------------------------------------------------- batched path
+    def submit(self, instance: np.ndarray, timeout: float = 30.0):
+        """Enqueue ONE instance; blocks until its result is ready.  Called
+        from many request threads concurrently — the worker coalesces
+        whatever is queued into a single device step."""
+        box = {"event": threading.Event()}
+        self._queue.put((np.asarray(instance, np.uint8), box))
+        if not box["event"].wait(timeout):
+            raise TimeoutError("inference timed out")
+        if "error" in box:
+            raise RuntimeError(box["error"])
+        return box["result"]
+
+    def _batch_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self.batch_timeout_s
+            while len(batch) < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            arrays = [b[0] for b in batch]
+            boxes = [b[1] for b in batch]
+            try:
+                preds = self.predict(np.stack(arrays))
+                for box, row in zip(boxes, preds):
+                    box["result"] = row
+            except Exception as e:  # surface to every waiter, keep serving
+                for box in boxes:
+                    box["error"] = f"{type(e).__name__}: {e}"
+            for box in boxes:
+                box["event"].set()
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=2.0)
+
+
+# ------------------------------------------------------------------ HTTP
+def _make_handler(engine: InferenceEngine, model_name: str):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"ok": True, "model": model_name,
+                                 "dataset": engine.dataset,
+                                 "input_shape": list(engine.input_shape),
+                                 "buckets": list(engine.buckets)})
+            elif self.path == "/metrics":
+                self._send(200, engine.metrics())
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._send(404, {"error": "unknown path"})
+                return
+            engine.count_request()
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                instances = np.asarray(req["instances"], np.uint8)
+                if instances.shape[1:] != engine.input_shape:
+                    raise ValueError(
+                        f"instance shape {instances.shape[1:]} != "
+                        f"{engine.input_shape}")
+                t0 = time.perf_counter()
+                if len(instances) == 1:
+                    # single request: ride the dynamic batcher so
+                    # concurrent clients share one device step
+                    preds = engine.submit(instances[0])[None]
+                else:
+                    preds = engine.predict(instances)
+                ms = (time.perf_counter() - t0) * 1e3
+                self._send(200, {"predictions": preds.tolist(),
+                                 "batch": len(instances),
+                                 "latency_ms": round(ms, 3)})
+            except Exception as e:
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def make_server(engine: InferenceEngine, model_name: str, host: str,
+                port: int) -> ThreadingHTTPServer:
+    return ThreadingHTTPServer((host, port),
+                               _make_handler(engine, model_name))
+
+
+def build_engine(args, train_mod=None):
+    """Model + weights + engine from the parsed train.py-vocabulary args
+    (the testable core of main)."""
+    from .migrate import _dataset_input_shape, _load_train_module
+
+    import jax
+    import jax.numpy as jnp
+
+    train = train_mod or _load_train_module()
+    input_shape = _dataset_input_shape(args)
+    num_classes = 100 if args.dataset == "CIFAR100" else 10
+    model = train.build_model(args, input_shape, num_classes)
+    name = args.ckpt_name or getattr(model, "model_name",
+                                     type(model).__name__)
+
+    if args.init_random:
+        variables = model.init(jax.random.PRNGKey(args.seed),
+                               jnp.zeros((1,) + input_shape, jnp.float32),
+                               train=False)
+    else:
+        from .train.checkpoint import restore_checkpoint
+
+        root = os.path.join(args.results_dir, args.dataset, "models")
+        payload = restore_checkpoint(root, name, args.kind)
+        variables = {"params": payload["params"]}
+        if payload.get("batch_stats"):
+            variables["batch_stats"] = payload["batch_stats"]
+    if args.fold_bn:
+        from .utils.fold_bn import fold_batch_norms
+
+        variables, n = fold_batch_norms(variables, eps=args.bn_eps)
+        print(f"folded {n} BatchNorms")
+
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    engine = InferenceEngine(model, variables, args.dataset, input_shape,
+                             buckets=buckets,
+                             batch_timeout_ms=args.batch_timeout_ms,
+                             bf16=args.bf16)
+    return engine, name
+
+
+def main(argv=None):
+    from .migrate import _load_train_module
+
+    train = _load_train_module()
+    p = train.build_parser()
+    p.description = "Serve a trained convkan_tpu model over HTTP."
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8421)
+    p.add_argument("--kind", default="best", choices=["best", "last"])
+    p.add_argument("--ckpt_name", default=None)
+    p.add_argument("--init_random", action="store_true",
+                   help="serve freshly initialized weights (smoke tests)")
+    p.add_argument("--fold_bn", action="store_true",
+                   help="fold conv->BN pairs before serving (fold_bn.py)")
+    p.add_argument("--bn_eps", type=float, default=1e-5)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 activations (standard TPU serving precision)")
+    p.add_argument("--buckets", default="1,8,64",
+                   help="comma-separated batch buckets, compiled+warmed "
+                        "at startup")
+    p.add_argument("--batch_timeout_ms", type=float, default=2.0)
+    args = p.parse_args(argv)
+    engine, name = build_engine(args, train)
+    server = make_server(engine, name, args.host, args.port)
+    print(f"serving {name} ({args.dataset}, buckets {engine.buckets}) "
+          f"on http://{args.host}:{server.server_address[1]}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,190 @@
+"""Serving subsystem tests (convkan_tpu/serve.py): bucketed jitted
+forward, dynamic batching, and the HTTP surface.  CPU-only, tiny model.
+
+The reference's deployment story ends at `model(x)` on a pickle
+(evaluations.py:225); this subsystem is new-build (SURVEY.md §5
+"serving export" companion)."""
+
+import json
+import threading
+import urllib.request
+
+import flax.linen as nn
+import jax
+import numpy as np
+import pytest
+
+from convkan_tpu.serve import InferenceEngine, make_server
+
+SHAPE = (8, 8, 3)
+
+
+class Tiny(nn.Module):
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.reshape(x.shape[0], -1)
+        return nn.Dense(10)(x)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1,) + SHAPE, np.float32), train=False)
+    eng = InferenceEngine(model, variables, "CIFAR10", SHAPE,
+                          buckets=(1, 4, 16), batch_timeout_ms=30.0)
+    yield eng
+    eng.close()
+
+
+def _images(n, seed=0):
+    return np.random.RandomState(seed).randint(
+        0, 256, (n,) + SHAPE, dtype=np.uint8)
+
+
+def test_predict_bucket_padding_exact(engine):
+    """Padding to a bucket then slicing must not change the results, for
+    sizes inside, at, and across bucket boundaries + chunking past the
+    largest bucket."""
+    ref5 = engine.predict(_images(5))
+    for n in (1, 3, 4, 5, 16, 37):
+        x = _images(n)
+        y = engine.predict(x)
+        assert y.shape == (n, 10)
+        # per-row invariance: each row equals the row computed alone
+        # (engine.predict(x[i:i+1]) rides the batch-1 bucket)
+        for i in (0, n - 1):
+            solo = engine.predict(x[i:i + 1])[0]
+            np.testing.assert_allclose(y[i], solo, rtol=1e-5, atol=1e-5)
+    # determinism across calls
+    np.testing.assert_array_equal(ref5, engine.predict(_images(5)))
+
+
+def test_submit_matches_predict_and_coalesces(engine):
+    """16 concurrent submits return per-instance results identical to the
+    direct path, and the batcher coalesces them into far fewer device
+    steps than 16."""
+    x = _images(16, seed=1)
+    want = engine.predict(x)
+
+    calls = []
+    orig = engine._fwd
+
+    def counting_fwd(batch):
+        calls.append(np.asarray(batch).shape[0])
+        return orig(batch)
+
+    engine._fwd = counting_fwd
+    try:
+        results = [None] * 16
+
+        def worker(i):
+            results[i] = engine.submit(x[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        engine._fwd = orig
+
+    for i in range(16):
+        np.testing.assert_allclose(results[i], want[i], rtol=1e-5,
+                                   atol=1e-5)
+    assert len(calls) < 16, f"no coalescing happened: {calls}"
+
+
+def test_shape_errors(engine):
+    with pytest.raises(ValueError):
+        engine.predict(np.zeros((2, 4, 4, 3), np.uint8))
+    with pytest.raises(RuntimeError):
+        engine.submit(np.zeros((4, 4, 3), np.uint8))
+
+
+def test_http_surface(engine):
+    server = make_server(engine, "tiny", "127.0.0.1", 0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["input_shape"] == list(SHAPE)
+        assert health["buckets"] == [1, 4, 16]
+
+        x = _images(3, seed=2)
+        want = engine.predict(x)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"instances": x.tolist()}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            out = json.loads(r.read())
+        assert out["batch"] == 3
+        np.testing.assert_allclose(np.asarray(out["predictions"]), want,
+                                   rtol=1e-5, atol=1e-5)
+
+        # single instance rides the dynamic batcher
+        req1 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"instances": x[:1].tolist()}).encode(),
+            method="POST")
+        with urllib.request.urlopen(req1, timeout=30) as r:
+            out1 = json.loads(r.read())
+        np.testing.assert_allclose(np.asarray(out1["predictions"]),
+                                   want[:1], rtol=1e-5, atol=1e-5)
+
+        # malformed shape -> 400, server stays alive
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps(
+                {"instances": np.zeros((1, 2, 2, 3)).tolist()}).encode(),
+            method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=10)
+        assert ei.value.code == 400
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["ok"]
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=10) as r:
+            m = json.loads(r.read())
+        assert m["requests"] >= 3 and m["instances"] >= 4
+        assert m["device_batches"] >= 2 and "device_step_ms" in m
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+@pytest.mark.slow
+def test_serve_cli_build_engine():
+    """The CLI path: --init_random + train.py flag vocabulary builds a
+    warmed engine on a real model (KAN-VGG kansmall), and predict runs."""
+    from convkan_tpu.migrate import _load_train_module
+    from convkan_tpu.serve import build_engine
+
+    train = _load_train_module()
+    p = train.build_parser()
+    p.add_argument("--kind", default="best")
+    p.add_argument("--ckpt_name", default=None)
+    p.add_argument("--init_random", action="store_true")
+    p.add_argument("--fold_bn", action="store_true")
+    p.add_argument("--bn_eps", type=float, default=1e-5)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--buckets", default="1,8,64")
+    p.add_argument("--batch_timeout_ms", type=float, default=2.0)
+    args = p.parse_args(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+                         "--dataset", "CIFAR10", "--width_scale", "0.25",
+                         "--init_random", "--buckets", "1,4"])
+    engine, name = build_engine(args, train)
+    try:
+        y = engine.predict(np.random.RandomState(0).randint(
+            0, 256, (3, 32, 32, 3), dtype=np.uint8))
+        assert y.shape == (3, 10) and np.isfinite(y).all()
+        assert "VGG" in name
+    finally:
+        engine.close()
