@@ -263,14 +263,18 @@ def measure_fastkan_mlp(batch=8192, steps=500):
 
 
 # ------------------------------------------------------------ config 4
-def measure_wavkan(batch=256, steps=10, use_pallas="auto",
+def measure_wavkan(batch=1024, steps=10, use_pallas="auto",
                    island_bf16=False):
     """WavKAN conv stack (mexican_hat, fast) CIFAR-100 train step
     (config 4; stack shape from wav_kan_layers.py:469-476).
 
-    island_bf16=True materializes the psi tensor (this config's dominant
-    HBM traffic, profiled at ~82% of roofline) in bf16 — the opt-in
-    non-bit-exact variant, see WavKANConvND.island_bf16."""
+    Batch 1024 (round 3): like config 5, the old batch-256 row was
+    partially launch-gap-bound — profile showed 11.2 ms/step device busy
+    vs 14.9 ms wall.  Measured: exact 14.6k (b256) -> 16.3k (b1024);
+    island 17.2k -> 20.2k.  island_bf16=True materializes the psi tensor
+    (this config's dominant HBM traffic, profiled at ~82% of roofline)
+    in bf16 — the opt-in non-bit-exact variant, see
+    WavKANConvND.island_bf16 and BENCH_NOTES.md."""
     import flax.linen as nn
     import jax
     import jax.numpy as jnp

@@ -63,3 +63,32 @@ def test_cli_main_end_to_end_report_artifacts(tmp_path):
     head = (tmp_path / "experiment_results.csv").read_text().splitlines()[0]
     assert head.startswith("Model Name,Final Test Accuracy")
     assert os.path.isdir(tmp_path / "MNIST" / "models")
+
+
+@pytest.mark.slow
+def test_cli_bf16_island_trains(tmp_path):
+    """--bf16_island: the mixed-precision island knob reaches every layer
+    built by the CLI (process default) and a short run still learns on
+    the memorization set."""
+    from convkan_tpu.nn.kan_conv import _PERF_DEFAULTS, set_perf_defaults
+
+    import numpy as np
+
+    assert _PERF_DEFAULTS["island_bf16"] is False
+    try:
+        cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+                  "--dataset", "MNIST", "--synthetic_data",
+                  "--synthetic_size", "128", "--epoch", "2",
+                  "--batch_size", "64", "--bf16_island",
+                  "--results_dir", str(tmp_path)])
+        assert _PERF_DEFAULTS["island_bf16"] is True
+        import csv
+
+        hist = tmp_path / "training_history.csv"
+        with open(hist) as f:
+            rows = list(csv.DictReader(f))
+        losses = [float(r["train_loss"]) for r in rows]
+        assert len(losses) == 2 and all(np.isfinite(losses))
+        assert losses[-1] < losses[0], f"no learning under bf16: {losses}"
+    finally:
+        set_perf_defaults(island_bf16=False)

@@ -35,7 +35,7 @@ def _sync(x):
     return np.asarray(jax.device_get(x)).ravel()[:1]
 
 
-def build_config4(use_pallas):
+def build_config4(use_pallas, island_bf16=False):
     import flax.linen as nn
 
     from convkan_tpu.nn.wav_conv import WavKANConv2DLayer
@@ -53,7 +53,8 @@ def build_config4(use_pallas):
                 x = WavKANConv2DLayer(
                     x.shape[-1], c, 3, padding=1,
                     wavelet_type="mexican_hat", wav_version="fast",
-                    use_pallas=use_pallas)(x, train=train)
+                    use_pallas=use_pallas,
+                    island_bf16=island_bf16 or None)(x, train=train)
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x = adaptive_avg_pool(x, (1, 1)).reshape(x.shape[0], -1)
             return Linear(x.shape[-1], 100)(x)
@@ -186,7 +187,8 @@ def parse_trace(trace_dir, steps):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", choices=["config1", "config3", "config4",
-                                       "config4_pallas", "config5"])
+                                       "config4_island", "config4_pallas",
+                                       "config5"])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--steps", type=int, default=10)
@@ -194,6 +196,8 @@ def main():
 
     if args.config == "config4":
         step, state = build_config4(False)
+    elif args.config == "config4_island":
+        step, state = build_config4(False, island_bf16=True)
     elif args.config == "config4_pallas":
         step, state = build_config4(True)
     elif args.config == "config5":

@@ -90,6 +90,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patience", type=float, default=float("inf"),
                    help="early-stopping patience in epochs (reference "
                         "default: inf, evaluations.py:156)")
+    p.add_argument("--bf16_island", action="store_true",
+                   help="bf16 mixed precision for the KAN basis->conv "
+                        "islands (KanConvND/WavKANConvND.island_bf16): the "
+                        "wide basis tensors and their cotangents move half "
+                        "the HBM bytes.  Measured +4%% on KAN-VGG, +18%% on "
+                        "WavKAN (BENCH_NOTES.md); not torch-bit-exact")
     return p
 
 
@@ -255,6 +261,13 @@ def main(argv=None):
     from convkan_tpu.parallel.mesh import make_mesh
     from convkan_tpu.train.data import get_datasets
     from convkan_tpu.train.loop import train_model_generic, write_results_csv
+
+    if args.bf16_island:
+        # process-wide default BEFORE build_model so every layer built
+        # below picks it up (explicit ctor kwargs would still win)
+        from convkan_tpu.nn.kan_conv import set_perf_defaults
+
+        set_perf_defaults(island_bf16=True)
 
     train_ds, test_ds, classes = get_datasets(
         args.dataset, args.data_path, synthetic=args.synthetic_data,
