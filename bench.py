@@ -655,12 +655,26 @@ def main():
 
     if "--all" in sys.argv:
         details = {"device_kind": device_kind, "config3": head}
+        def _with_island(fn):
+            # process-default island for configs without their own kwarg;
+            # restored so later rows measure the exact path
+            def run():
+                from convkan_tpu.nn.kan_conv import set_perf_defaults
+                prev = set_perf_defaults(island_bf16=True)
+                try:
+                    return fn()
+                finally:
+                    set_perf_defaults(**prev)
+            return run
+
         for key, fn in (("config1", measure_kanconv_micro),
                         ("config2", measure_fastkan_mlp),
                         ("config4", measure_wavkan),
                         ("config4_islandbf16",
                          lambda: measure_wavkan(island_bf16=True)),
-                        ("config5", measure_mobilenetv3_224)):
+                        ("config5", measure_mobilenetv3_224),
+                        ("config5_islandbf16",
+                         _with_island(measure_mobilenetv3_224))):
             try:
                 row = fn()
                 # every row carries tflops/mfu (VERDICT r2 #2), derived

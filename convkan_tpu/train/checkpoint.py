@@ -18,10 +18,35 @@ def _path(root: str, name: str, kind: str) -> str:
     return os.path.abspath(os.path.join(root, f"{name}_{kind}"))
 
 
+_ASYNC_CKPTR: Optional["ocp.AsyncCheckpointer"] = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_async_saves():
+    """Block until every pending async save has committed to disk.  Call
+    before restoring a checkpoint that may still be in flight and at the
+    end of training."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(root: str, name: str, kind: str, state,
-                    extra: Optional[dict] = None):
+                    extra: Optional[dict] = None,
+                    async_save: bool = False):
     """kind: 'best' | 'last'.  Saves params, opt_state, batch_stats, step,
-    and optional metadata (epoch, metric history)."""
+    and optional metadata (epoch, metric history).
+
+    async_save=True hands the (host-copied) payload to an Orbax
+    AsyncCheckpointer: the device stays busy with the next epoch while
+    the write runs in the background.  The payload is device_get'd
+    either way, so the saved values are a consistent snapshot regardless
+    of later state updates.  Pair with wait_for_async_saves()."""
     os.makedirs(root, exist_ok=True)
     path = _path(root, name, kind)
     payload = {
@@ -34,6 +59,13 @@ def save_checkpoint(root: str, name: str, kind: str, state,
     }
     if extra:
         payload["extra"] = extra
+    if async_save:
+        ckptr = _async_checkpointer()
+        # one save per path at a time; Orbax queues internally only per
+        # checkpointer, so drain before re-targeting the same directory
+        ckptr.wait_until_finished()
+        ckptr.save(path, payload, force=True)
+        return path
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, payload, force=True)
     return path
@@ -43,6 +75,7 @@ def restore_checkpoint(root: str, name: str, kind: str, state=None):
     """Restore a checkpoint.  With a template `state`, returns an updated
     TrainState (full resume); otherwise returns the raw payload dict."""
     path = _path(root, name, kind)
+    wait_for_async_saves()  # the target may still be in flight
     ckptr = ocp.PyTreeCheckpointer()
     payload = ckptr.restore(path)
     if state is None:

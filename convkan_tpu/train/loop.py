@@ -259,9 +259,15 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                           model_name: str = "model", patience=np.inf,
                           save_last: bool = True, resume: bool = False,
                           learning_rate: float = 1e-3, gamma: float = 0.8,
-                          grad_accum: int = 1):
+                          grad_accum: int = 1, async_checkpoints: bool = True):
     """Epoch loop with best-checkpointing and early stopping
-    (evaluations.py:156-247 parity)."""
+    (evaluations.py:156-247 parity).
+
+    async_checkpoints: per-epoch best/last saves go through an Orbax
+    AsyncCheckpointer — the write overlaps the next epoch's compute
+    (the payload is host-snapshotted before the save returns, so the
+    values are consistent).  All pending writes are drained before the
+    function returns and before any restore."""
     train_step = make_train_step(model, dataset, train_ds.augment,
                                  l1_decay=l1_decay, mesh=mesh,
                                  imagenet=getattr(train_ds, "imagenet", False),
@@ -349,18 +355,21 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                 ckpt_lib.save_checkpoint(
                     path, model_name, "best", state,
                     extra={"epoch": epoch + 1, "best_acc": best_acc,
-                           "history": history})
+                           "history": history},
+                    async_save=async_checkpoints)
         else:
             epochs_no_improve += 1
         if path and save_last:
             ckpt_lib.save_checkpoint(
                 path, model_name, "last", state,
                 extra={"epoch": epoch + 1, "best_acc": best_acc,
-                       "history": history})
+                       "history": history},
+                async_save=async_checkpoints)
         if epochs_no_improve > patience:
             logger.info("early stopping at epoch %d", epoch)
             break
 
+    ckpt_lib.wait_for_async_saves()
     return state, history
 
 

@@ -1,0 +1,69 @@
+"""Async checkpointing: overlapped Orbax saves commit correctly and
+restore drains in-flight writes (train/checkpoint.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from convkan_tpu.train import checkpoint as ckpt_lib
+from convkan_tpu.train.state import create_train_state
+
+
+def _tiny_state():
+    import flax.linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    model = Tiny()
+    return create_train_state(model, jax.random.PRNGKey(0),
+                              jnp.zeros((2, 8), jnp.float32),
+                              steps_per_epoch=10)
+
+
+def test_async_save_then_restore_drains(tmp_path):
+    state = _tiny_state()
+    root = str(tmp_path)
+    ckpt_lib.save_checkpoint(root, "m", "best", state,
+                             extra={"epoch": 3}, async_save=True)
+    # restore without an explicit wait: restore_checkpoint must drain the
+    # in-flight write itself
+    restored, extra = ckpt_lib.restore_checkpoint(root, "m", "best", state)
+    assert extra["epoch"] == 3
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        state.params, restored.params)
+
+
+def test_async_overwrite_same_path_sequences(tmp_path):
+    """Two async saves to the same directory (the per-epoch _last
+    pattern): the second must win and the payload must be consistent."""
+    state = _tiny_state()
+    root = str(tmp_path)
+    for epoch in (1, 2):
+        ckpt_lib.save_checkpoint(root, "m", "last", state,
+                                 extra={"epoch": epoch}, async_save=True)
+    ckpt_lib.wait_for_async_saves()
+    payload = ckpt_lib.restore_checkpoint(root, "m", "last")
+    assert payload["extra"]["epoch"] == 2
+
+
+def test_async_snapshot_is_consistent(tmp_path):
+    """The payload is host-snapshotted at save time: mutating the live
+    state afterwards must not leak into the in-flight write."""
+    state = _tiny_state()
+    root = str(tmp_path)
+    before = jax.tree_util.tree_map(np.asarray, state.params)
+    ckpt_lib.save_checkpoint(root, "m", "best", state, async_save=True)
+    # clobber the live params while the write may still be in flight
+    state = state.replace(params=jax.tree_util.tree_map(
+        lambda x: x + 100.0, state.params))
+    ckpt_lib.wait_for_async_saves()
+    payload = ckpt_lib.restore_checkpoint(root, "m", "best")
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        before, payload["params"])
