@@ -532,6 +532,90 @@ def measure_serving(batches=(1, 8, 1024), steps=100, bf16=False):
             "rows": rows}
 
 
+def measure_serving_http(concurrency=(1, 8, 32), n_requests=192):
+    """Serving through the FULL stack — HTTP + dynamic batcher + bucketed
+    jitted forward (convkan_tpu/serve.py) — with batch-1 requests from
+    concurrent clients.  This is what a deployment actually sustains;
+    the coalescing stats show the batcher turning concurrent singles
+    into shared device steps."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convkan_tpu.models.vgg import vggkan
+    from convkan_tpu.serve import InferenceEngine, make_server
+    from convkan_tpu.train.state import create_train_state
+
+    model = vggkan(3, 10, arch=ARCH, kan_conv="KAN",
+                   classifier_type="Linear")
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((8, 32, 32, 3), jnp.float32),
+                               steps_per_epoch=100)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    engine = InferenceEngine(model, variables, "CIFAR10", (32, 32, 3),
+                             buckets=(1, 8, 32), batch_timeout_ms=2.0)
+    server = make_server(engine, "bench", "127.0.0.1", 0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    x1 = np.random.RandomState(0).randint(
+        0, 256, (1, 32, 32, 3), dtype=np.uint8).tolist()
+    body = _json.dumps({"instances": x1}).encode()
+    url = f"http://127.0.0.1:{port}/predict"
+
+    def one_request():
+        req = urllib.request.Request(url, data=body, method="POST")
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=60) as r:
+            r.read()
+        return (time.perf_counter() - t0) * 1e3
+
+    one_request()  # warm
+    rows = {}
+    try:
+        for c in concurrency:
+            per = n_requests // c
+            lat = [[] for _ in range(c)]
+
+            def client(i):
+                for _ in range(per):
+                    lat[i].append(one_request())
+
+            t0 = time.perf_counter()
+            ts = [threading.Thread(target=client, args=(i,))
+                  for i in range(c)]
+            for t in ts:
+                t.start()
+            for t in ts:
+                t.join()
+            wall = time.perf_counter() - t0
+            flat = sorted(sum(lat, []))
+            m0 = engine.metrics()
+            rows[f"clients_{c}"] = {
+                "qps": round(per * c / wall, 1),
+                "latency_ms_p50": round(flat[len(flat) // 2], 3),
+                "latency_ms_p99": round(flat[int(0.99 * (len(flat) - 1))],
+                                        3),
+            }
+        m = engine.metrics()
+        rows["coalescing"] = {
+            "requests": m["requests"], "device_batches": m["device_batches"],
+            "avg_batch": round(m["instances"] /
+                               max(1, m["device_batches"]), 2)}
+    finally:
+        server.shutdown()
+        server.server_close()
+        engine.close()
+    return {"metric": "kan_vgg_cifar10_serving_http",
+            "unit": "per-concurrency rows", "rows": rows}
+
+
 def measure_serving_fold_bn(batches=(1, 8, 256), steps=50):
     """Deployment transform A/B: KAN-MobileNetV3-small @224² inference
     with and without `utils/fold_bn.fold_batch_norms` (BN eps 0.001).
@@ -624,6 +708,11 @@ def main():
         return
     if "--serving_fold_bn" in sys.argv:
         out = measure_serving_fold_bn()
+        out["device_kind"] = device_kind
+        print(json.dumps(out))
+        return
+    if "--serving_http" in sys.argv:
+        out = measure_serving_http()
         out["device_kind"] = device_kind
         print(json.dumps(out))
         return

@@ -246,10 +246,16 @@ def _make_handler(engine: InferenceEngine, model_name: str):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # socketserver's default listen backlog of 5 drops (connection-reset)
+    # bursts of concurrent clients; a serving frontend needs headroom
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def make_server(engine: InferenceEngine, model_name: str, host: str,
                 port: int) -> ThreadingHTTPServer:
-    return ThreadingHTTPServer((host, port),
-                               _make_handler(engine, model_name))
+    return _Server((host, port), _make_handler(engine, model_name))
 
 
 def build_engine(args, train_mod=None):
