@@ -58,7 +58,7 @@ class InferenceEngine:
                  buckets: Sequence[int] = (1, 8, 64),
                  max_batch: Optional[int] = None,
                  batch_timeout_ms: float = 2.0,
-                 bf16: bool = False, warmup: bool = True):
+                 bf16: bool = False, warmup: bool = True, mesh=None):
         import jax
         import jax.numpy as jnp
 
@@ -70,6 +70,22 @@ class InferenceEngine:
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         self.max_batch = int(max_batch or self.buckets[-1])
         self.batch_timeout_s = batch_timeout_ms / 1e3
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip serving: batch sharded over the mesh's data axes,
+            # params replicated (the same GSPMD recipe as training).
+            # Buckets must split evenly across the data axes.
+            from .parallel.mesh import batch_axes
+
+            n_data = 1
+            for ax, size in zip(mesh.axis_names, mesh.devices.shape):
+                if ax in batch_axes(mesh):
+                    n_data *= size
+            bad = [b for b in self.buckets if b % n_data]
+            if bad:
+                raise ValueError(
+                    f"buckets {bad} not divisible by the mesh's "
+                    f"{n_data} data-parallel devices")
 
         def fwd(x_uint8):
             x = normalize_batch(x_uint8, dataset)
@@ -78,7 +94,18 @@ class InferenceEngine:
             out = model.apply(variables, x, train=False)
             return out.astype(jnp.float32)
 
-        self._fwd = jax.jit(fwd)
+        if mesh is None:
+            self._fwd = jax.jit(fwd)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .parallel.mesh import batch_axes
+
+            in_sh = NamedSharding(
+                mesh, P(batch_axes(mesh), *([None] * len(self.input_shape))))
+            out_sh = NamedSharding(mesh, P(batch_axes(mesh), None))
+            self._fwd = jax.jit(fwd, in_shardings=in_sh,
+                                out_shardings=out_sh)
 
         if warmup:
             for b in self.buckets:
@@ -291,11 +318,16 @@ def build_engine(args, train_mod=None):
         variables, n = fold_batch_norms(variables, eps=args.bn_eps)
         print(f"folded {n} BatchNorms")
 
+    mesh = None
+    if getattr(args, "mesh_data", None) and args.mesh_data > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.mesh_data)
     buckets = tuple(int(b) for b in args.buckets.split(","))
     engine = InferenceEngine(model, variables, args.dataset, input_shape,
                              buckets=buckets,
                              batch_timeout_ms=args.batch_timeout_ms,
-                             bf16=args.bf16)
+                             bf16=args.bf16, mesh=mesh)
     return engine, name
 
 

@@ -188,3 +188,35 @@ def test_serve_cli_build_engine():
         assert "VGG" in name
     finally:
         engine.close()
+
+
+def test_mesh_serving_matches_single_device():
+    """Multi-chip serving: batch sharded over the data mesh produces the
+    same logits as the unsharded engine, and uneven buckets are
+    rejected up front."""
+    from convkan_tpu.parallel.mesh import make_mesh
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1,) + SHAPE, np.float32), train=False)
+    mesh = make_mesh(data=4, devices=jax.devices()[:4])
+    single = InferenceEngine(model, variables, "CIFAR10", SHAPE,
+                             buckets=(4, 16), warmup=False)
+    sharded = InferenceEngine(model, variables, "CIFAR10", SHAPE,
+                              buckets=(4, 16), mesh=mesh, warmup=False)
+    try:
+        x = _images(16, seed=5)
+        np.testing.assert_allclose(sharded.predict(x), single.predict(x),
+                                   rtol=1e-5, atol=1e-5)
+        # padding path: 10 rows -> bucket 16, still sharded evenly
+        np.testing.assert_allclose(sharded.predict(x[:10]),
+                                   single.predict(x[:10]),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        single.close()
+        sharded.close()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not divisible"):
+        InferenceEngine(model, variables, "CIFAR10", SHAPE,
+                        buckets=(1, 8), mesh=mesh, warmup=False)
