@@ -94,8 +94,19 @@ class InferenceEngine:
             out = model.apply(variables, x, train=False)
             return out.astype(jnp.float32)
 
+        if model is None:
+            # exported-artifact mode (from_exported): `variables` is the
+            # raw logits callable; normalization still runs on device
+            def fwd(x_uint8):  # noqa: F811
+                x = normalize_batch(x_uint8, dataset)
+                return jnp.asarray(variables(x), jnp.float32)
+
         if mesh is None:
             self._fwd = jax.jit(fwd)
+        elif model is None:
+            raise ValueError("mesh serving needs a live model, not an "
+                             "exported artifact (the blob's shardings are "
+                             "baked at export time)")
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -121,6 +132,18 @@ class InferenceEngine:
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._batch_loop, daemon=True)
         self._worker.start()
+
+    @classmethod
+    def from_exported(cls, blob: bytes, dataset: str,
+                      input_shape: Sequence[int], **kwargs):
+        """Serve a `utils/export.export_forward` StableHLO artifact —
+        the full production loop (train → export → serve) without the
+        model class or checkpoint on the serving host.  The artifact's
+        symbolic batch dimension makes every bucket size valid."""
+        from .utils.export import load_forward
+
+        return cls(None, load_forward(blob), dataset, input_shape,
+                   **kwargs)
 
     # ---------------------------------------------------------- direct path
     def _bucket_for(self, n: int) -> int:
@@ -295,6 +318,14 @@ def build_engine(args, train_mod=None):
 
     train = train_mod or _load_train_module()
     input_shape = _dataset_input_shape(args)
+    if getattr(args, "stablehlo", None):
+        with open(args.stablehlo, "rb") as f:
+            blob = f.read()
+        buckets = tuple(int(b) for b in args.buckets.split(","))
+        engine = InferenceEngine.from_exported(
+            blob, args.dataset, input_shape, buckets=buckets,
+            batch_timeout_ms=args.batch_timeout_ms)
+        return engine, os.path.basename(args.stablehlo)
     num_classes = 100 if args.dataset == "CIFAR100" else 10
     model = train.build_model(args, input_shape, num_classes)
     name = args.ckpt_name or getattr(model, "model_name",
@@ -343,6 +374,9 @@ def main(argv=None):
     p.add_argument("--ckpt_name", default=None)
     p.add_argument("--init_random", action="store_true",
                    help="serve freshly initialized weights (smoke tests)")
+    p.add_argument("--stablehlo", default=None,
+                   help="serve a utils/export.export_forward artifact "
+                        "instead of model+checkpoint (no model code needed)")
     p.add_argument("--fold_bn", action="store_true",
                    help="fold conv->BN pairs before serving (fold_bn.py)")
     p.add_argument("--bn_eps", type=float, default=1e-5)

@@ -220,3 +220,29 @@ def test_mesh_serving_matches_single_device():
     with _pytest.raises(ValueError, match="not divisible"):
         InferenceEngine(model, variables, "CIFAR10", SHAPE,
                         buckets=(1, 8), mesh=mesh, warmup=False)
+
+
+def test_serve_from_exported_stablehlo(tmp_path):
+    """Full production loop: export_forward -> serve from the blob
+    without the model class; logits match the live-model engine."""
+    from convkan_tpu.utils.export import export_forward
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1,) + SHAPE, np.float32), train=False)
+    blob = export_forward(model, variables, SHAPE, batch_poly=True)
+    live = InferenceEngine(model, variables, "CIFAR10", SHAPE,
+                           buckets=(1, 4), warmup=False)
+    exported = InferenceEngine.from_exported(blob, "CIFAR10", SHAPE,
+                                             buckets=(1, 4))
+    try:
+        x = _images(3, seed=9)
+        np.testing.assert_allclose(exported.predict(x), live.predict(x),
+                                   rtol=1e-5, atol=1e-5)
+        # dynamic batcher works on the exported path too
+        np.testing.assert_allclose(exported.submit(x[0]),
+                                   live.predict(x[:1])[0],
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        live.close()
+        exported.close()
