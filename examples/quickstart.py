@@ -102,9 +102,27 @@ def round2_features_demo():
     print("prefetched", n, "batches")
 
 
+def serving_demo(model, state):
+    """Round-3: the HTTP serving engine (bucketed, dynamically batched)
+    driven programmatically; `python -m convkan_tpu.serve` is the CLI."""
+    from convkan_tpu.serve import InferenceEngine
+
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    engine = InferenceEngine(model, variables, "CIFAR10", (32, 32, 3),
+                             buckets=(1, 8))
+    x = np.random.RandomState(0).randint(0, 256, (3, 32, 32, 3),
+                                         dtype=np.uint8)
+    print("served logits:", engine.predict(x).shape,
+          "metrics:", engine.metrics())
+    engine.close()
+
+
 if __name__ == "__main__":
     layers_demo()
     model, state = train_demo()
     export_demo(model, state)
+    serving_demo(model, state)
     round2_features_demo()
     print("done")
