@@ -948,6 +948,11 @@ class KanConvND(nn.Module):
             # supported config, so 'auto' never engages the kernels today.
             # use_pallas=True still forces them (tests, future hardware).
             return None
+        if self._island_bf16_on:
+            # the fused kernels are f32-only; running them under
+            # island_bf16 would silently compare different numerics in
+            # any pallas-vs-XLA A/B — the island takes priority
+            return None
         # pre-basis dropout can't cross the kernel boundary ('input'-site
         # dropout is fine: it applies to x before both paths)
         if train and self.dropout > 0 and spec.dropout_site not in (

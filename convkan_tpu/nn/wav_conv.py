@@ -93,6 +93,11 @@ class WavKANConvND(nn.Module):
             # config (KERNELS.md round 3); use_pallas=True still forces
             # the kernels (tests, future hardware)
             return None
+        if self._island_bf16_on:
+            # the fused kernel is f32-only; silently running it in f32
+            # under island_bf16 would make flag combinations measure
+            # different numerics — the island takes priority (XLA path)
+            return None
         from ..kernels import fused_wav_conv as fwc
 
         pad = self.padding

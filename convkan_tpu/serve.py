@@ -156,6 +156,8 @@ class InferenceEngine:
         """Run a whole batch now (padding to the enclosing bucket; batches
         beyond the largest bucket run in largest-bucket chunks)."""
         x = np.asarray(x_uint8, np.uint8)
+        if len(x) == 0:
+            raise ValueError("empty batch")
         if x.shape[1:] != self.input_shape:
             raise ValueError(
                 f"instance shape {x.shape[1:]} != expected "
@@ -185,12 +187,18 @@ class InferenceEngine:
 
     def metrics(self) -> dict:
         """Counters + device-step latency percentiles (last 1024 steps)."""
+        import math
+
         with self._stats_lock:
             lat = sorted(self._latencies_ms)
             out = dict(self._stats)
         if lat:
-            pct = lambda q: round(lat[min(len(lat) - 1,
-                                          int(q * len(lat)))], 3)  # noqa: E731
+            # nearest-rank percentile: ceil(q*n)-1 (int(q*n) is biased one
+            # rank high for even n — p50 of [1, 9] must be 1, not 9)
+            def pct(q):
+                i = max(0, math.ceil(q * len(lat)) - 1)
+                return round(lat[i], 3)
+
             out["device_step_ms"] = {"p50": pct(0.50), "p95": pct(0.95),
                                      "p99": pct(0.99), "n": len(lat)}
         return out
@@ -200,8 +208,17 @@ class InferenceEngine:
         """Enqueue ONE instance; blocks until its result is ready.  Called
         from many request threads concurrently — the worker coalesces
         whatever is queued into a single device step."""
+        if self._stop.is_set():
+            raise RuntimeError("engine closed")
+        instance = np.asarray(instance, np.uint8)
+        if instance.shape != self.input_shape:
+            # validate HERE so one malformed instance cannot poison the
+            # whole coalesced batch of other callers' requests
+            raise ValueError(
+                f"instance shape {instance.shape} != expected "
+                f"{self.input_shape} for dataset {self.dataset}")
         box = {"event": threading.Event()}
-        self._queue.put((np.asarray(instance, np.uint8), box))
+        self._queue.put((instance, box))
         if not box["event"].wait(timeout):
             raise TimeoutError("inference timed out")
         if "error" in box:
@@ -239,6 +256,15 @@ class InferenceEngine:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=2.0)
+        # flush anything still queued so blocked submit() callers fail
+        # immediately instead of waiting out their timeout
+        while True:
+            try:
+                _, box = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            box["error"] = "engine closed"
+            box["event"].set()
 
 
 # ------------------------------------------------------------------ HTTP
@@ -290,8 +316,13 @@ def _make_handler(engine: InferenceEngine, model_name: str):
                 self._send(200, {"predictions": preds.tolist(),
                                  "batch": len(instances),
                                  "latency_ms": round(ms, 3)})
-            except Exception as e:
+            except (ValueError, KeyError, TypeError,
+                    json.JSONDecodeError) as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:
+                # server-side fault (device error, inference timeout,
+                # worker death) — 5xx so retry/alerting policies engage
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
 
     return Handler
 
@@ -318,14 +349,32 @@ def build_engine(args, train_mod=None):
 
     train = train_mod or _load_train_module()
     input_shape = _dataset_input_shape(args)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
     if getattr(args, "stablehlo", None):
+        # artifact mode bakes precision/folding/shardings at export time;
+        # reject rather than silently drop these flags
+        dropped = [f for f, on in
+                   [("--bf16", args.bf16), ("--fold_bn", args.fold_bn),
+                    ("--mesh_data", getattr(args, "mesh_data", None)),
+                    ("--bf16_island", getattr(args, "bf16_island", False))]
+                   if on]
+        if dropped:
+            raise SystemExit(
+                f"{' '.join(dropped)} cannot apply to a --stablehlo "
+                "artifact: precision, BN folding and shardings are baked "
+                "at export time (utils/export.export_forward)")
         with open(args.stablehlo, "rb") as f:
             blob = f.read()
-        buckets = tuple(int(b) for b in args.buckets.split(","))
         engine = InferenceEngine.from_exported(
             blob, args.dataset, input_shape, buckets=buckets,
             batch_timeout_ms=args.batch_timeout_ms)
         return engine, os.path.basename(args.stablehlo)
+    if getattr(args, "bf16_island", False):
+        # honor the train.py mixed-precision flag at serving time too
+        # (process default, set before the model is built)
+        from .nn.kan_conv import set_perf_defaults
+
+        set_perf_defaults(island_bf16=True)
     num_classes = 100 if args.dataset == "CIFAR100" else 10
     model = train.build_model(args, input_shape, num_classes)
     name = args.ckpt_name or getattr(model, "model_name",
@@ -354,7 +403,6 @@ def build_engine(args, train_mod=None):
         from .parallel.mesh import make_mesh
 
         mesh = make_mesh(data=args.mesh_data)
-    buckets = tuple(int(b) for b in args.buckets.split(","))
     engine = InferenceEngine(model, variables, args.dataset, input_shape,
                              buckets=buckets,
                              batch_timeout_ms=args.batch_timeout_ms,

@@ -18,22 +18,26 @@ def _path(root: str, name: str, kind: str) -> str:
     return os.path.abspath(os.path.join(root, f"{name}_{kind}"))
 
 
-_ASYNC_CKPTR: Optional["ocp.AsyncCheckpointer"] = None
+_ASYNC_CKPTRS: dict = {}  # target path -> AsyncCheckpointer
 
 
-def _async_checkpointer():
-    global _ASYNC_CKPTR
-    if _ASYNC_CKPTR is None:
-        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
-    return _ASYNC_CKPTR
+def _async_checkpointer(path: str):
+    # one checkpointer per target path: the best and last saves of the
+    # same epoch then overlap each other AND the next epoch's compute
+    # (a single global checkpointer would serialize them — the second
+    # save would block the host on the first write)
+    if path not in _ASYNC_CKPTRS:
+        _ASYNC_CKPTRS[path] = ocp.AsyncCheckpointer(
+            ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTRS[path]
 
 
 def wait_for_async_saves():
     """Block until every pending async save has committed to disk.  Call
     before restoring a checkpoint that may still be in flight and at the
     end of training."""
-    if _ASYNC_CKPTR is not None:
-        _ASYNC_CKPTR.wait_until_finished()
+    for ckptr in _ASYNC_CKPTRS.values():
+        ckptr.wait_until_finished()
 
 
 def save_checkpoint(root: str, name: str, kind: str, state,
@@ -60,9 +64,9 @@ def save_checkpoint(root: str, name: str, kind: str, state,
     if extra:
         payload["extra"] = extra
     if async_save:
-        ckptr = _async_checkpointer()
-        # one save per path at a time; Orbax queues internally only per
-        # checkpointer, so drain before re-targeting the same directory
+        ckptr = _async_checkpointer(path)
+        # drain only THIS path's previous write (same directory cannot
+        # have two in-flight saves); other paths stay overlapped
         ckptr.wait_until_finished()
         ckptr.save(path, payload, force=True)
         return path
@@ -90,4 +94,5 @@ def restore_checkpoint(root: str, name: str, kind: str, state=None):
 
 
 def checkpoint_exists(root: str, name: str, kind: str) -> bool:
+    wait_for_async_saves()  # an in-flight save commits via final rename
     return os.path.exists(_path(root, name, kind))

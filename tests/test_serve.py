@@ -99,8 +99,31 @@ def test_submit_matches_predict_and_coalesces(engine):
 def test_shape_errors(engine):
     with pytest.raises(ValueError):
         engine.predict(np.zeros((2, 4, 4, 3), np.uint8))
-    with pytest.raises(RuntimeError):
+    with pytest.raises(ValueError):
+        engine.predict(np.zeros((0,) + SHAPE, np.uint8))
+    # submit validates BEFORE enqueueing, so a malformed instance can
+    # never poison other callers' coalesced batch
+    with pytest.raises(ValueError):
         engine.submit(np.zeros((4, 4, 3), np.uint8))
+
+
+def test_metrics_percentiles_nearest_rank(engine):
+    engine._latencies_ms.clear()
+    engine._latencies_ms.extend([1.0, 9.0])
+    m = engine.metrics()
+    assert m["device_step_ms"]["p50"] == 1.0  # median of 2, not rank 2
+    assert m["device_step_ms"]["p99"] == 9.0
+
+
+def test_submit_after_close_fails_fast():
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1,) + SHAPE, np.float32), train=False)
+    eng = InferenceEngine(model, variables, "CIFAR10", SHAPE,
+                          buckets=(1,), warmup=False)
+    eng.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        eng.submit(_images(1)[0])
 
 
 def test_http_surface(engine):
