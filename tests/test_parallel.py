@@ -176,3 +176,23 @@ def test_dp_tp_train_step():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_halo_conv_composes_with_island_bf16():
+    """The spatial-halo path honors island_bf16 (round-3 mixed precision):
+    f32 output, bf16-tolerance agreement with the f32 halo conv."""
+    mesh = make_mesh(data=8)
+    kw = dict(family="kan", input_dim=6, output_dim=8, kernel_size=3,
+              ndim=2, padding=1, grid_size=5, spline_order=3,
+              spatial_mesh=mesh, spatial_axis="data")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 16, 6),
+                          jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "data", None, None)))
+    m0 = KanConvND(**kw)
+    m1 = KanConvND(island_bf16=True, **kw)
+    v = m0.init(jax.random.PRNGKey(1), x, train=False)
+    y0 = m0.apply(v, xs, train=False)
+    y1 = m1.apply(v, xs, train=False)
+    assert y1.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               atol=0.15, rtol=0.1)
