@@ -467,16 +467,20 @@ def measure_torch_reference() -> float:
     return TORCH_BATCH * steps / dt
 
 
-def measure_serving(batches=(1, 8, 1024), steps=100, bf16=False):
+def measure_serving(batches=(1, 8, 1024), steps=100, bf16=False, int8=False):
     """Inference serving: per-batch-size latency/throughput of the
     flagship model's jitted forward (uint8 in -> logits), the deployment
     surface `utils/export.py` serializes.  bf16=True serves the whole
     forward (params + activations) in bfloat16 — standard TPU inference
-    precision; logits differ from f32 at bf16 tolerance."""
+    precision; logits differ from f32 at bf16 tolerance.  int8=True runs
+    every conv as dynamic s8xs8->s32 PTQ (config.quant_mode) — int8 MXU
+    peak is 2x bf16 and the wide KAN basis tensor hits HBM at 1/4 the
+    f32 bytes."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from convkan_tpu import config as _cfg
     from convkan_tpu.models.vgg import vggkan
     from convkan_tpu.train.data import normalize_batch
     from convkan_tpu.train.state import create_train_state
@@ -507,7 +511,8 @@ def measure_serving(batches=(1, 8, 1024), steps=100, bf16=False):
             x = normalize_batch(xb, "CIFAR10")
             if bf16:
                 x = x.astype(jnp.bfloat16)
-            out = model.apply(variables, x + acc * 0, train=False)
+            with _cfg.quant_mode("int8" if int8 else None):
+                out = model.apply(variables, x + acc * 0, train=False)
             return jnp.sum(out).astype(jnp.float32)
 
         def scan_steps(xb):
@@ -700,9 +705,12 @@ def main():
 
     device_kind = jax.devices()[0].device_kind
     if "--serving" in sys.argv:
-        out = measure_serving(bf16="--bf16" in sys.argv)
+        out = measure_serving(bf16="--bf16" in sys.argv,
+                              int8="--int8" in sys.argv)
         if "--bf16" in sys.argv:
             out["metric"] += "_bf16"
+        if "--int8" in sys.argv:
+            out["metric"] += "_int8"
         out["device_kind"] = device_kind
         print(json.dumps(out))
         return

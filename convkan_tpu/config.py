@@ -26,6 +26,7 @@ import contextlib
 from typing import Optional
 
 _MATMUL_DTYPE: Optional[str] = None
+_QUANT_MODE: Optional[str] = None
 
 
 def set_matmul_dtype(dtype: Optional[str]):
@@ -47,3 +48,36 @@ def matmul_dtype(dtype: Optional[str]):
         yield
     finally:
         _MATMUL_DTYPE = prev
+
+
+def set_quant_mode(mode: Optional[str]):
+    """Serving-time dynamic post-training quantization for every conv in
+    the framework (ops/conv.py is the single funnel).
+
+    'int8': symmetric per-output-channel weight scales + per-tensor
+    activation scales, s8xs8->s32 on the MXU (v5e int8 peak is 2x bf16),
+    dequantized back to the float output dtype.  Inference-only — round()
+    has zero gradient, so training under this mode would silently stop
+    learning the conv weights; the train CLI never sets it.  The reference
+    has no quantization story at all (its deployment surface ends at
+    `model(x)`, evaluations.py:107-129); this is a beyond-reference
+    serving feature.  None: exact float path (default).
+    """
+    global _QUANT_MODE
+    assert mode in (None, "int8")
+    _QUANT_MODE = mode
+
+
+def get_quant_mode() -> Optional[str]:
+    return _QUANT_MODE
+
+
+@contextlib.contextmanager
+def quant_mode(mode: Optional[str]):
+    global _QUANT_MODE
+    prev = _QUANT_MODE
+    set_quant_mode(mode)
+    try:
+        yield
+    finally:
+        _QUANT_MODE = prev

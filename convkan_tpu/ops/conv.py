@@ -62,6 +62,10 @@ def conv_nd(
     from .. import config as _cfg
 
     out_dtype = jnp.result_type(x.dtype, w.dtype)
+    if (_cfg.get_quant_mode() == "int8"
+            and jnp.issubdtype(out_dtype, jnp.floating)):
+        return _conv_nd_int8(x, w, stride, pad_spec, dilation, dn, groups,
+                             out_dtype)
     md = _cfg.get_matmul_dtype()
     cast_back = md == "bfloat16" and out_dtype == jnp.float32
     if cast_back:
@@ -79,6 +83,42 @@ def conv_nd(
         precision=precision,
     )
     return y.astype(out_dtype) if cast_back else y
+
+
+def _conv_nd_int8(x, w, stride, pad_spec, dilation, dn, groups, out_dtype):
+    """Dynamic symmetric int8 PTQ conv (config.set_quant_mode('int8')).
+
+    Standard TPU serving recipe: per-output-channel weight scales,
+    per-tensor activation scale computed from the live batch (dynamic —
+    no calibration pass needed, and never stale), s8 x s8 -> s32 on the
+    MXU, one fused dequant multiply on the way out.  The quantize ops are
+    elementwise, so XLA fuses them into the producing fusion: the wide
+    KAN basis tensor hits HBM as int8 (4x less traffic than f32).
+    Inference-only — round() has zero gradient.
+    """
+    # activations: per-tensor symmetric scale from the live max
+    ax = jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0
+    ax = jnp.maximum(ax, jnp.float32(1e-12))
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / ax), -127.0, 127.0)
+    xq = xq.astype(jnp.int8)
+    # weights: per-output-channel scales (last axis of (*K, Cin/g, Cout))
+    aw = jnp.max(jnp.abs(w.astype(jnp.float32)),
+                 axis=tuple(range(w.ndim - 1))) / 127.0
+    aw = jnp.maximum(aw, jnp.float32(1e-12))
+    wq = jnp.clip(jnp.round(w.astype(jnp.float32) / aw), -127.0, 127.0)
+    wq = wq.astype(jnp.int8)
+    yq = lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=stride,
+        padding=pad_spec,
+        lhs_dilation=(1,) * (len(pad_spec)),
+        rhs_dilation=dilation,
+        dimension_numbers=dn,
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    return (yq.astype(jnp.float32) * (ax * aw)).astype(out_dtype)
 
 
 def same_padding(kernel_size: IntOrTuple, dilation: IntOrTuple, ndim: int = 2):

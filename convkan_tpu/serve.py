@@ -58,11 +58,19 @@ class InferenceEngine:
                  buckets: Sequence[int] = (1, 8, 64),
                  max_batch: Optional[int] = None,
                  batch_timeout_ms: float = 2.0,
-                 bf16: bool = False, warmup: bool = True, mesh=None):
+                 bf16: bool = False, int8: bool = False,
+                 warmup: bool = True, mesh=None):
         import jax
         import jax.numpy as jnp
 
+        from . import config as _cfg
         from .train.data import normalize_batch
+
+        if int8 and bf16:
+            raise ValueError("pick one serving precision: --int8 or --bf16")
+        if int8 and model is None:
+            raise ValueError("--int8 needs a live model; a StableHLO "
+                             "artifact's precision is baked at export time")
 
         self.model = model
         self.dataset = dataset
@@ -91,7 +99,11 @@ class InferenceEngine:
             x = normalize_batch(x_uint8, dataset)
             if bf16:
                 x = x.astype(jnp.bfloat16)
-            out = model.apply(variables, x, train=False)
+            # the context manager runs at trace time, which is exactly when
+            # ops/conv.py consults the mode — every re-trace (one per bucket
+            # shape) sees it active
+            with _cfg.quant_mode("int8" if int8 else None):
+                out = model.apply(variables, x, train=False)
             return out.astype(jnp.float32)
 
         if model is None:
@@ -355,6 +367,7 @@ def build_engine(args, train_mod=None):
         # reject rather than silently drop these flags
         dropped = [f for f, on in
                    [("--bf16", args.bf16), ("--fold_bn", args.fold_bn),
+                    ("--int8", getattr(args, "int8", False)),
                     ("--mesh_data", getattr(args, "mesh_data", None)),
                     ("--bf16_island", getattr(args, "bf16_island", False))]
                    if on]
@@ -406,7 +419,8 @@ def build_engine(args, train_mod=None):
     engine = InferenceEngine(model, variables, args.dataset, input_shape,
                              buckets=buckets,
                              batch_timeout_ms=args.batch_timeout_ms,
-                             bf16=args.bf16, mesh=mesh)
+                             bf16=args.bf16,
+                             int8=getattr(args, "int8", False), mesh=mesh)
     return engine, name
 
 
@@ -430,6 +444,10 @@ def main(argv=None):
     p.add_argument("--bn_eps", type=float, default=1e-5)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 activations (standard TPU serving precision)")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic int8 PTQ for every conv (config.py "
+                        "quant_mode; s8xs8->s32 on the MXU, per-output-"
+                        "channel weight scales)")
     p.add_argument("--buckets", default="1,8,64",
                    help="comma-separated batch buckets, compiled+warmed "
                         "at startup")

@@ -22,7 +22,7 @@ from jax import export as jexport
 
 def export_forward(model, variables, input_shape: Sequence[int],
                    batch_poly: bool = True, fold_bn: bool = False,
-                   bn_eps: float = 1e-5) -> bytes:
+                   bn_eps: float = 1e-5, int8: bool = False) -> bytes:
     """Serialize `model.apply(variables, x, train=False)` with the params
     baked in.  `input_shape` excludes the batch dim; with batch_poly the
     batch dimension is exported symbolically (any batch size at serve
@@ -33,13 +33,20 @@ def export_forward(model, variables, input_shape: Sequence[int],
     BNs' multiply-by-one / sqrt-of-one constant-fold away and each BN
     collapses into a single fused shift in the conv epilogue.  bn_eps
     must match the model's BatchNorm eps (MobileNetV3 / EfficientNetV2
-    configure 0.001)."""
+    configure 0.001).
+
+    int8 bakes the dynamic-PTQ conv path (config.quant_mode) into the
+    artifact: weight quantization constant-folds at compile time, the
+    per-batch activation scales stay dynamic in the graph."""
     if fold_bn:
         from .fold_bn import fold_batch_norms
         variables, _ = fold_batch_norms(variables, eps=bn_eps)
 
+    from .. import config as _cfg
+
     def fwd(x):
-        return model.apply(variables, x, train=False)
+        with _cfg.quant_mode("int8" if int8 else None):
+            return model.apply(variables, x, train=False)
 
     if batch_poly:
         (b,) = jexport.symbolic_shape("b")
