@@ -92,3 +92,25 @@ def test_cli_bf16_island_trains(tmp_path):
         assert losses[-1] < losses[0], f"no learning under bf16: {losses}"
     finally:
         set_perf_defaults(island_bf16=False)
+
+
+@pytest.mark.slow
+def test_cli_eval_only(tmp_path):
+    """--eval_only: evaluates an existing checkpoint without training —
+    the reference's post-hoc test() surface (evaluations.py:81-153) as a
+    CLI.  Metrics must match what a fresh evaluate() of that checkpoint
+    returns, and a missing checkpoint must fail loudly."""
+    base = ["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+            "--dataset", "MNIST", "--synthetic_data",
+            "--synthetic_size", "128", "--batch_size", "64",
+            "--results_dir", str(tmp_path)]
+    with pytest.raises(SystemExit, match="no 'best' checkpoint"):
+        cli.main(base + ["--eval_only"])
+    cli.main(base + ["--epoch", "1"])
+    out = cli.main(base + ["--eval_only"])
+    assert set(out) == {"test_loss", "accuracy", "precision", "recall",
+                        "f1", "inference_ms"}
+    assert 0.0 <= out["accuracy"] <= 1.0 and out["inference_ms"] > 0
+    # determinism: a second eval of the same checkpoint agrees exactly
+    out2 = cli.main(base + ["--eval_only", "--eval_kind", "last"])
+    assert out2["test_loss"] == pytest.approx(out["test_loss"], abs=1e-6)

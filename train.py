@@ -90,6 +90,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patience", type=float, default=float("inf"),
                    help="early-stopping patience in epochs (reference "
                         "default: inf, evaluations.py:156)")
+    p.add_argument("--eval_only", action="store_true",
+                   help="evaluate an existing {name}_{kind} checkpoint on "
+                        "the test set (loss/acc/macro P/R/F1 + honest "
+                        "forward ms/image) and exit without training — the "
+                        "reference's post-hoc test() surface "
+                        "(evaluations.py:81-153) as a CLI")
+    p.add_argument("--eval_kind", default="best", choices=["best", "last"],
+                   help="which checkpoint --eval_only loads")
     p.add_argument("--bf16_island", action="store_true",
                    help="bf16 mixed precision for the KAN basis->conv "
                         "islands (KanConvND/WavKANConvND.island_bf16): the "
@@ -289,6 +297,51 @@ def main(argv=None):
     if (args.mesh_data or n_dev) > 1:
         mesh = make_mesh(data=args.mesh_data or n_dev)
         logger.info("data-parallel mesh: %s", mesh)
+
+    if args.eval_only:
+        import jax.numpy as jnp
+
+        from convkan_tpu.train import checkpoint as ckpt_lib
+        from convkan_tpu.train.data import epoch_batches
+        from convkan_tpu.train.loop import (_local_rows, _pad_batch,
+                                            _shardings, evaluate,
+                                            make_eval_step, make_infer_timer)
+        from convkan_tpu.train.state import create_train_state
+
+        if not ckpt_lib.checkpoint_exists(model_save_path, model_name,
+                                          args.eval_kind):
+            raise SystemExit(
+                f"--eval_only: no '{args.eval_kind}' checkpoint for "
+                f"{model_name} under {model_save_path} — train first, or "
+                f"import one with `python -m convkan_tpu.migrate`")
+        state = create_train_state(
+            model, jax.random.PRNGKey(args.seed),
+            jnp.zeros((2,) + input_shape, jnp.float32),
+            learning_rate=args.lr, weight_decay=args.weight_decay,
+            gamma=args.gamma)
+        state, extra = ckpt_lib.restore_checkpoint(
+            model_save_path, model_name, args.eval_kind, state)
+        imagenet = getattr(test_ds, "imagenet", False)
+        eval_step = make_eval_step(model, args.dataset, num_classes,
+                                   mesh=mesh, imagenet=imagenet)
+        _, batch_sharding = _shardings(mesh)
+        loss, acc, prec, rec, f1 = evaluate(
+            eval_step, state, test_ds, args.batch_size, num_classes,
+            batch_sharding=batch_sharding)
+        timer = make_infer_timer(model, args.dataset, imagenet=imagenet)
+        xb0, yb0 = next(epoch_batches(test_ds, args.batch_size, seed=0,
+                                      shuffle=False))
+        xb0 = _local_rows(_pad_batch(xb0, yb0, args.batch_size)[:2])[0]
+        if batch_sharding is not None:
+            xb0 = jax.device_put(xb0, batch_sharding)
+        inf_ms = timer(state, xb0)
+        logger.info(
+            "eval[%s] %s: test_loss %.4f acc %.4f P %.4f R %.4f F1 %.4f "
+            "(%.3f ms/img, trained %d epochs)",
+            args.eval_kind, model_name, loss, acc, prec, rec, f1, inf_ms,
+            int(extra.get("epoch", 0)))
+        return {"test_loss": loss, "accuracy": acc, "precision": prec,
+                "recall": rec, "f1": f1, "inference_ms": inf_ms}
 
     state, history = train_model_generic(
         model, train_ds, test_ds, args.dataset, num_classes,
