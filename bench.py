@@ -705,6 +705,9 @@ def main():
 
     device_kind = jax.devices()[0].device_kind
     if "--serving" in sys.argv:
+        if "--bf16" in sys.argv and "--int8" in sys.argv:
+            raise SystemExit("pick one serving precision: --int8 or --bf16 "
+                             "(serve.py rejects the combination too)")
         out = measure_serving(bf16="--bf16" in sys.argv,
                               int8="--int8" in sys.argv)
         if "--bf16" in sys.argv:

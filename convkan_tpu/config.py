@@ -23,10 +23,19 @@ or per-scope:
 from __future__ import annotations
 
 import contextlib
+import threading
 from typing import Optional
 
 _MATMUL_DTYPE: Optional[str] = None
 _QUANT_MODE: Optional[str] = None
+# Scoped mode changes hold this for the context duration so two threads
+# tracing concurrently (e.g. two InferenceEngines with different
+# precisions, whose jits trace lazily in request threads) cannot compile
+# each other's mode.  The contexts wrap trace-time code only — executed
+# jitted calls never re-enter Python — so the serialization cost is one
+# XLA trace, not steady-state serving.  RLock: contexts nest
+# (serve.py force-disables inside an outer test context).
+_MODE_LOCK = threading.RLock()
 
 
 def set_matmul_dtype(dtype: Optional[str]):
@@ -42,12 +51,13 @@ def get_matmul_dtype() -> Optional[str]:
 @contextlib.contextmanager
 def matmul_dtype(dtype: Optional[str]):
     global _MATMUL_DTYPE
-    prev = _MATMUL_DTYPE
-    set_matmul_dtype(dtype)
-    try:
-        yield
-    finally:
-        _MATMUL_DTYPE = prev
+    with _MODE_LOCK:
+        prev = _MATMUL_DTYPE
+        set_matmul_dtype(dtype)
+        try:
+            yield
+        finally:
+            _MATMUL_DTYPE = prev
 
 
 def set_quant_mode(mode: Optional[str]):
@@ -75,9 +85,10 @@ def get_quant_mode() -> Optional[str]:
 @contextlib.contextmanager
 def quant_mode(mode: Optional[str]):
     global _QUANT_MODE
-    prev = _QUANT_MODE
-    set_quant_mode(mode)
-    try:
-        yield
-    finally:
-        _QUANT_MODE = prev
+    with _MODE_LOCK:
+        prev = _QUANT_MODE
+        set_quant_mode(mode)
+        try:
+            yield
+        finally:
+            _QUANT_MODE = prev

