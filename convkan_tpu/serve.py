@@ -231,7 +231,15 @@ class InferenceEngine:
                 f"{self.input_shape} for dataset {self.dataset}")
         box = {"event": threading.Event()}
         self._queue.put((instance, box))
+        if self._stop.is_set() and not box["event"].wait(0.1):
+            # close() raced our enqueue: its drain may already have missed
+            # this item, so fail fast instead of waiting out the timeout
+            raise RuntimeError("engine closed")
         if not box["event"].wait(timeout):
+            # mark abandoned so the worker sheds it instead of spending a
+            # device step on a result nobody is waiting for (under
+            # sustained overload the backlog could otherwise never drain)
+            box["abandoned"] = True
             raise TimeoutError("inference timed out")
         if "error" in box:
             raise RuntimeError(box["error"])
@@ -253,6 +261,12 @@ class InferenceEngine:
                     batch.append(self._queue.get(timeout=remaining))
                 except queue.Empty:
                     break
+            # shed instances whose submitter already timed out (their box
+            # write is GIL-atomic; a concurrent mark after this filter just
+            # computes one wasted row, not a wasted step)
+            batch = [b for b in batch if not b[1].get("abandoned")]
+            if not batch:
+                continue
             arrays = [b[0] for b in batch]
             boxes = [b[1] for b in batch]
             try:
@@ -328,8 +342,10 @@ def _make_handler(engine: InferenceEngine, model_name: str):
                 self._send(200, {"predictions": preds.tolist(),
                                  "batch": len(instances),
                                  "latency_ms": round(ms, 3)})
-            except (ValueError, KeyError, TypeError,
+            except (ValueError, KeyError, TypeError, OverflowError,
                     json.JSONDecodeError) as e:
+                # OverflowError: numpy 2.x raises it for out-of-uint8-range
+                # payload ints (e.g. 256) — a client error, not a 500
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
             except Exception as e:
                 # server-side fault (device error, inference timeout,
@@ -382,9 +398,12 @@ def build_engine(args, train_mod=None):
             blob, args.dataset, input_shape, buckets=buckets,
             batch_timeout_ms=args.batch_timeout_ms)
         return engine, os.path.basename(args.stablehlo)
-    if getattr(args, "bf16_island", False):
+    if getattr(args, "bf16_island", False) or args.bf16:
         # honor the train.py mixed-precision flag at serving time too
-        # (process default, set before the model is built)
+        # (process default, set before the model is built).  --bf16 implies
+        # the island: casting only the input would leave the f32 basis
+        # constants promoting the conv back to f32 (see bench.py
+        # measure_serving) — the island is the supported bf16 path.
         from .nn.kan_conv import set_perf_defaults
 
         set_perf_defaults(island_bf16=True)
@@ -443,7 +462,10 @@ def main(argv=None):
                    help="fold conv->BN pairs before serving (fold_bn.py)")
     p.add_argument("--bn_eps", type=float, default=1e-5)
     p.add_argument("--bf16", action="store_true",
-                   help="bf16 activations (standard TPU serving precision)")
+                   help="bf16 serving: input cast + the layers' bf16 "
+                        "compute islands (same recipe as bench.py "
+                        "--serving --bf16; measured a wash vs f32 on v5e "
+                        "at CIFAR shapes — see BENCH_NOTES.md)")
     p.add_argument("--int8", action="store_true",
                    help="dynamic int8 PTQ for every conv (config.py "
                         "quant_mode; s8xs8->s32 on the MXU, per-output-"

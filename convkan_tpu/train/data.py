@@ -89,7 +89,7 @@ def _load_mnist(root: str, train: bool):
     raise FileNotFoundError(f"MNIST raw files not found under {base}")
 
 
-def _load_cifar(root: str, train: bool, coarse100: bool = False, n100=False):
+def _load_cifar(root: str, train: bool, n100: bool = False):
     if n100:
         d = os.path.join(root, "cifar-100-python")
         files = ["train"] if train else ["test"]
@@ -469,7 +469,7 @@ def prefetch_batches(it, size: int = 2, sharding=None, host_thread=True):
     buf: deque = deque()
     for b in src:
         buf.append(put_batch(b, sharding))
-        if len(buf) > size:
+        if len(buf) >= size:
             yield buf.popleft()
     while buf:
         yield buf.popleft()

@@ -63,7 +63,7 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
     accumulation semantics) the averaged gradient is bit-for-bit the
     mean-CE full-batch gradient up to f32 summation order."""
 
-    def micro_grads(state, params, x, labels, drop_rng, stats):
+    def micro_grads(params, x, labels, drop_rng, stats):
         def loss_fn(params):
             variables = {"params": params}
             if stats:
@@ -91,7 +91,7 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
 
         if grad_accum <= 1:
             (loss, new_stats), grads = micro_grads(
-                state, state.params, x, labels, drop_rng, state.batch_stats)
+                state.params, x, labels, drop_rng, state.batch_stats)
         else:
             n = x.shape[0]
             if n % grad_accum:
@@ -106,7 +106,7 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
                 stats, gsum, lsum, i = carry
                 x_mb, y_mb = inp
                 (loss, new_stats), g = micro_grads(
-                    state, state.params, x_mb, y_mb,
+                    state.params, x_mb, y_mb,
                     jax.random.fold_in(drop_rng, i), stats)
                 gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
                 return (new_stats, gsum, lsum + loss, i + 1), ()
@@ -304,8 +304,18 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
         logger.info("resumed from epoch %d", start_epoch)
 
     rng = jax.random.PRNGKey(seed)
-    epochs_no_improve = 0
-    steps_per_epoch = len(train_ds) // batch_size
+    # resumed so a preemption cannot reset the early-stopping window
+    epochs_no_improve = (int(extra.get("epochs_no_improve", 0))
+                         if resume and start_epoch else 0)
+
+    if jax.process_count() > 1 and mesh is None:
+        # _local_rows would slice disjoint per-process rows with NO
+        # gradient sync (no sharding -> no psum), silently training
+        # divergent replicas and under-counting eval loss
+        raise ValueError(
+            "multi-process run without a mesh: pass mesh= (train.py does "
+            "this automatically) so batches are globally sharded and "
+            "gradients sync")
 
     _, batch_sharding = _shardings(mesh)
 
@@ -362,6 +372,7 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                 ckpt_lib.save_checkpoint(
                     path, model_name, "best", state,
                     extra={"epoch": epoch + 1, "best_acc": best_acc,
+                           "epochs_no_improve": epochs_no_improve,
                            "history": history},
                     async_save=async_checkpoints)
         else:
@@ -370,6 +381,7 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
             ckpt_lib.save_checkpoint(
                 path, model_name, "last", state,
                 extra={"epoch": epoch + 1, "best_acc": best_acc,
+                       "epochs_no_improve": epochs_no_improve,
                        "history": history},
                 async_save=async_checkpoints)
         if epochs_no_improve > patience:

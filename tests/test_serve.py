@@ -126,6 +126,51 @@ def test_submit_after_close_fails_fast():
         eng.submit(_images(1)[0])
 
 
+def test_timed_out_submits_are_shed():
+    """An instance whose submitter timed out must not consume a device
+    step (load shedding under overload — without it a backlog that
+    causes timeouts can never drain)."""
+    import queue as _q
+    import time as _t
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0),
+                           np.zeros((1,) + SHAPE, np.float32), train=False)
+    eng = InferenceEngine(model, variables, "CIFAR10", SHAPE,
+                          buckets=(1, 4), batch_timeout_ms=1.0)
+    calls = []
+    orig = eng._fwd
+
+    def counting_fwd(batch):
+        calls.append(np.asarray(batch).shape[0])
+        return orig(batch)
+
+    try:
+        # stall the worker on a fake first item so we can queue an
+        # already-abandoned one behind it deterministically
+        gate = threading.Event()
+        box_slow = {"event": threading.Event()}
+
+        def stalling_fwd(batch):
+            gate.wait(5.0)
+            return counting_fwd(batch)
+
+        eng._fwd = stalling_fwd
+        eng._queue.put((_images(1)[0], box_slow))
+        _t.sleep(0.05)  # worker picks it up and stalls in stalling_fwd
+        box_dead = {"event": threading.Event(), "abandoned": True}
+        eng._queue.put((_images(1, seed=3)[0], box_dead))
+        gate.set()
+        assert box_slow["event"].wait(10.0)
+        # give the worker a chance to (wrongly) run the abandoned item
+        _t.sleep(0.3)
+        assert not box_dead["event"].is_set()
+        assert len(calls) == 1  # only the live item cost a device step
+    finally:
+        eng._fwd = orig
+        eng.close()
+
+
 def test_http_surface(engine):
     server = make_server(engine, "tiny", "127.0.0.1", 0)
     port = server.server_address[1]
@@ -169,6 +214,17 @@ def test_http_surface(engine):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad, timeout=10)
         assert ei.value.code == 400
+
+        # out-of-uint8-range pixel values -> 400 (client error, not a
+        # 500: numpy 2.x raises OverflowError for int 256)
+        over = np.zeros((1,) + SHAPE, np.int64).tolist()
+        over[0][0][0][0] = 256
+        bad2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict",
+            data=json.dumps({"instances": over}).encode(), method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei2:
+            urllib.request.urlopen(bad2, timeout=10)
+        assert ei2.value.code == 400
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
             assert json.loads(r.read())["ok"]
