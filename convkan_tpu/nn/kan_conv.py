@@ -48,7 +48,7 @@ from ..basis import (
 )
 from ..basis.bspline import make_bspline_grid
 from ..basis.relukan import default_phases
-from ..basis.rbf import make_rbf_grid, rbf_basis
+from ..basis.rbf import make_rbf_grid, rbf_basis, rbf_cols
 from ..ops.conv import conv_nd
 from ..utils import activations as act_lib
 from ..utils import initializers as init_lib
@@ -236,9 +236,11 @@ class KanConvND(nn.Module):
     basis_build: Any = None
     # spatial sharding: set a Mesh (+ axis name) to run both convs with the
     # batch-height plane sharded over that axis via halo exchange
-    # (parallel/halo.py) — stride-1/'same'/groups-1 2D configs only; other
-    # configs fall back to the plain conv.  The basis expansion is
-    # pointwise, so XLA SPMD keeps it local to each H-shard.
+    # (parallel/halo.py).  Supported scope (round 3): 2D, odd 'same'
+    # kernels (incl. rectangular), stride dividing the local shard height,
+    # groups (incl. depthwise), dilation; unsupported configs fall back to
+    # the plain conv (halo_supported).  The basis expansion is pointwise,
+    # so XLA SPMD keeps it local to each H-shard.
     spatial_mesh: Any = None
     spatial_axis: str = "data"
     param_dtype: Any = jnp.float32
@@ -451,12 +453,8 @@ class KanConvND(nn.Module):
                                      self.grid_size)
             denom = (self.grid_range[1] - self.grid_range[0]) / (
                 self.grid_size - 1)
-            try:
-                centers = [float(v) for v in _np.asarray(grid)]
-            except Exception:
-                return None
-            # identical to rbf_basis's static-center fast path
-            return [jnp.exp(-jnp.square((x - c) / denom)) for c in centers]
+            # the single shared static-center fast path (basis/rbf.py)
+            return rbf_cols(x, grid, denom)
         if f == "cheby":
             # same trig form as chebyshev_basis (NOT the kernel recurrence)
             t = jnp.tanh(x)
@@ -700,7 +698,8 @@ class KanConvND(nn.Module):
         # the row permutation moves onto the (tiny) weight tensor instead.
         cols = None
         flat_bcast = None
-        if self.groups == 1 and not (spec.dropout_site == "basis" and train):
+        if self.groups == 1 and not (spec.dropout_site == "basis" and train
+                                     and self.dropout > 0):
             if self._basis_build_mode == "bcast":
                 flat_bcast = self._expand_flat(t)
             if flat_bcast is None:
@@ -787,6 +786,12 @@ class KanConvND(nn.Module):
             basis = flat.reshape(basis.shape)
 
         basis_flat = self._flatten_basis(basis)
+        if self._basis_bf16_on and basis_flat.dtype == jnp.float32:
+            # same opt-in bf16 basis storage as the degree-major fast
+            # path above — previously silently ignored on this generic
+            # (groups>1 / relukan / basis-dropout) path
+            basis_flat = basis_flat.astype(jnp.bfloat16)
+            poly_w = poly_w.astype(jnp.bfloat16)
         spline_out = self._conv(basis_flat, poly_w, conv_kwargs)
 
         y = spline_out if base_out is None else base_out + spline_out
@@ -941,6 +946,10 @@ class KanConvND(nn.Module):
 
         spec = self.spec
         if not self.use_pallas or self.family not in self._FUSABLE:
+            return None
+        if self.ndim != 2:
+            # the fused kernels are 2-D only; guard BEFORE the NHWC shape
+            # unpack below (a 1-D (B, L, C) input has no x.shape[3])
             return None
         if self.use_pallas == "auto":
             # 'auto' means "the measured-fastest path": per the round-2

@@ -37,7 +37,7 @@ from ..basis import (
 )
 from ..basis.bspline import make_bspline_grid
 from ..basis.relukan import default_phases, relukan_basis
-from ..basis.rbf import make_rbf_grid, rbf_basis
+from ..basis.rbf import make_rbf_grid, rbf_basis, rbf_cols
 from ..utils import activations as act_lib
 from ..utils import initializers as init_lib
 from ..utils.norms import BatchNorm, LayerNorm
@@ -189,14 +189,10 @@ class FastKANLinear(nn.Module):
             "spline_w",
             init_lib.trunc_normal(0.0, self.spline_weight_init_scale),
             (self.input_dim * self.num_grids, self.output_dim), self.param_dtype)
-        try:
-            centers = [float(v) for v in np.asarray(grid)]
-        except Exception:
-            centers = None
-        if centers is not None:
+        cols = rbf_cols(xn, grid, denom)
+        if cols is not None:
             # degree-major fast path: lane-concat RBF columns + permuted
             # weight rows (avoids the (B, in, G) -> (B, in*G) interleave)
-            cols = [jnp.exp(-jnp.square((xn - c) / denom)) for c in centers]
             w_dm = spline_w.reshape(self.input_dim, len(cols),
                                     self.output_dim)
             w_dm = jnp.swapaxes(w_dm, 0, 1).reshape(-1, self.output_dim)

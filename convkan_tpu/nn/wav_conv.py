@@ -125,6 +125,13 @@ class WavKANConvND(nn.Module):
         assert self.wavelet_type in WAVELET_TYPES, (
             f"Unsupported wavelet type: {self.wavelet_type}"
         )
+        if self.input_dim % self.groups or self.output_dim % self.groups:
+            # same loud contract as KanConvND — a silent in_g truncation
+            # surfaces later as an opaque XLA conv shape error
+            raise ValueError(
+                f"input_dim={self.input_dim} / output_dim="
+                f"{self.output_dim} must be divisible by groups="
+                f"{self.groups}")
         assert x.shape[-1] == self.input_dim
         ks = self.kernel_size
         kshape = tuple(ks) if isinstance(ks, (tuple, list)) else (ks,) * self.ndim

@@ -35,7 +35,11 @@ def halo_supported(mesh: Mesh, axis: str, H: int, kh: int,
     sh, _ = _pair(stride)
     dh, _ = _pair(dilation)
     ph, _ = _pair(padding)
-    n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    n = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis)
+    if n is None:
+        # unknown axis name: this is an eligibility predicate — fall back
+        # to the plain conv instead of raising mid-forward
+        return False
     if H % n:
         return False
     Hl = H // n

@@ -53,7 +53,13 @@ def make_multislice_mesh(data_per_slice: Optional[int] = None,
         dev = np.asarray(list(devices)).reshape(
             n_slices * data_per_slice, model)
     else:
-        n_slices = n_slices or getattr(jax.devices()[0], "num_slices", 1)
+        if n_slices is None:
+            # jax Devices expose slice_index (not a slice *count*) — derive
+            # the count from the distinct indices; a nonexistent-attr
+            # getattr default here would silently disable the hybrid path
+            # on every real multislice deployment
+            idx = {getattr(d, "slice_index", 0) or 0 for d in jax.devices()}
+            n_slices = len(idx)
         if n_slices <= 1:
             m = make_mesh(data=data_per_slice, model=model, devices=devices)
             arr = m.devices.reshape((1,) + m.devices.shape)

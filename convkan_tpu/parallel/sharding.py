@@ -9,7 +9,8 @@ no hand-written communication.
 Rules:
   * conv weights (*k, I, O) and linear weights (I, O): shard O over 'model'
     when divisible by the axis size;
-  * per-channel vectors (biases, norm scales) sharded over 'model' likewise;
+  * 1-D params (biases, norm scales, PReLU alphas) replicate — they are
+    tiny, and e.g. a (groups,) PReLU alpha must NOT be cut over 'model';
   * everything else replicated.
 """
 
@@ -54,11 +55,14 @@ def state_shardings(state, mesh: Mesh, min_dim: int = 2):
 
     p_specs = param_partition_specs(state.params, mesh, min_dim)
     repl = NamedSharding(mesh, P())
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
 
     def opt_spec(x):
-        return _spec_for(x, dict(zip(mesh.axis_names,
-                                     mesh.devices.shape)).get("model", 1),
-                         min_dim) if hasattr(x, "ndim") else P()
+        # same model_size<=1 guard as param_partition_specs: on a mesh
+        # without a 'model' axis, P(..., 'model') would crash NamedSharding
+        if model_size <= 1 or not hasattr(x, "ndim"):
+            return P()
+        return _spec_for(x, model_size, min_dim)
 
     return state.replace(
         step=repl,

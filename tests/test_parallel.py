@@ -196,3 +196,53 @@ def test_halo_conv_composes_with_island_bf16():
     assert y1.dtype == jnp.float32
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                atol=0.15, rtol=0.1)
+
+
+def test_state_shardings_data_only_mesh():
+    """state_shardings on a mesh WITHOUT a 'model' axis must replicate
+    everything (the opt-state path used to emit P(..., 'model') and crash
+    NamedSharding)."""
+    import jax.numpy as jnp
+
+    from convkan_tpu.parallel.sharding import state_shardings
+    from convkan_tpu.train.state import create_train_state
+    from convkan_tpu.nn.kan_conv import KanConvND
+    import flax.linen as nn
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return KanConvND(family="kan", input_dim=4, output_dim=8,
+                             kernel_size=3, padding=1)(x, train=train)
+
+    mesh = make_mesh(data=8)
+    state = create_train_state(M(), jax.random.PRNGKey(0),
+                               jnp.zeros((2, 8, 8, 4), jnp.float32))
+    sh = state_shardings(state, mesh)  # must not raise
+    leaves = jax.tree_util.tree_leaves(
+        sh.opt_state, is_leaf=lambda s: isinstance(s, NamedSharding))
+    assert all(s.spec == P() for s in leaves
+               if isinstance(s, NamedSharding))
+
+
+def test_halo_supported_unknown_axis_returns_false():
+    """halo_supported is an eligibility predicate — an axis name not in
+    the mesh must mean 'not eligible', not a KeyError mid-forward."""
+    from convkan_tpu.parallel.halo import halo_supported
+
+    mesh = make_mesh(data=8)
+    assert halo_supported(mesh, "nonexistent", 32, 3, 1, 1, 1) is False
+
+
+def test_use_pallas_1d_falls_back_not_crashes():
+    """use_pallas=True on a 1-D conv must fall back to the XLA path (the
+    fused kernels are 2-D only); it used to IndexError on x.shape[3]."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 4), jnp.float32)
+    plain = KanConvND(family="cheby", input_dim=4, output_dim=6,
+                      kernel_size=3, ndim=1, padding=1)
+    forced = KanConvND(family="cheby", input_dim=4, output_dim=6,
+                       kernel_size=3, ndim=1, padding=1, use_pallas=True)
+    v = plain.init(jax.random.PRNGKey(1), x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(forced.apply(v, x, train=False)),
+        np.asarray(plain.apply(v, x, train=False)), rtol=1e-6, atol=1e-6)
