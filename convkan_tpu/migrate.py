@@ -83,11 +83,14 @@ def _interop_fns(model_key: str):
                               te.export_efficientnetv2_state_dict),
     }
     if model_key not in table:
-        raise SystemExit(
-            f"no reference interop for {model_key}: the reference's "
-            "EfficientNet V1 kanconv path crashes at construction "
-            "(kan_efficientnet.py:155 in_channels vs in_planes, see "
-            "PARITY.md), so no reference checkpoints of it can exist")
+        msg = f"no reference interop for {model_key!r}; " \
+              f"supported: {sorted(table)}"
+        if model_key == "EfficientNetKAN":
+            msg += (" (the reference's EfficientNet V1 kanconv path "
+                    "crashes at construction — kan_efficientnet.py:155 "
+                    "in_channels vs in_planes, see PARITY.md — so no "
+                    "reference checkpoints of it can exist)")
+        raise SystemExit(msg)
     return table[model_key]
 
 

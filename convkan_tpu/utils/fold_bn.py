@@ -125,10 +125,16 @@ def fold_batch_norms(variables: Dict[str, Any], eps: float = 1e-5
         return variables, 0
     unit_var = _var_for_exact_unit_sqrt(eps)
 
-    def copy(d):
-        return {k: copy(v) if isinstance(v, dict) else v for k, v in d.items()}
+    # accept FrozenDict/Mapping trees too: without this, every
+    # isinstance(v, dict) below is False and the function silently folds
+    # NOTHING (export_forward(fold_bn=True) discards the count)
+    from collections.abc import Mapping as _Mapping
 
-    out = {k: copy(v) if isinstance(v, dict) else v
+    def copy(d):
+        return {k: copy(v) if isinstance(v, _Mapping) else v
+                for k, v in d.items()}
+
+    out = {k: copy(v) if isinstance(v, _Mapping) else v
            for k, v in variables.items()}
     n = [0]
 

@@ -101,6 +101,14 @@ def from_pretrained(path: str, *, revision: str = None,
                 if norm_cls is not None and norm_cls.__name__ == name:
                     cfg[k] = norm_cls
                     break
+            else:
+                # fail at LOAD time with the real cause — leaving the
+                # repr string gives a baffling KeyError deep inside the
+                # first forward pass
+                raise ValueError(
+                    f"config.json {k}={cfg[k]!r} does not name a "
+                    f"registered norm class (have "
+                    f"{sorted(c.__name__ for c in set(NORM_LAYERS.values()) if c)})")
     if "inverted_residual_setting" in cfg:
         from ..models.efficientnetv2 import MBConfig
         cfg["inverted_residual_setting"] = tuple(

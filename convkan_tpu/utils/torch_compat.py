@@ -220,15 +220,7 @@ def convert_vggkan(sd: Mapping[str, np.ndarray], model, variables):
     family = REF_FAMILY[model.kan_conv or "KAN"]
     params, stats = _trees(variables)
 
-    # feature convs: reference indices include the parameter-less MaxPool
-    # entries; enumerate the indices that actually carry conv params
-    feat_idx = sorted({int(k.split(".")[1]) for k in sd
-                       if k.startswith("features.")})
-    for j, idx in enumerate(feat_idx):
-        scope = _conv_scope(family, j)
-        assert scope in params, f"{scope} not in {sorted(params)[:8]}..."
-        _kan_into(params, stats, scope, _sub_sd(sd, f"features.{idx}"),
-                  family, model.groups)
+    _graft_feature_convs(sd, params, stats, family, model.groups)
 
     # classifier
     if model.classifier_type == "Linear":
@@ -240,30 +232,8 @@ def convert_vggkan(sd: Mapping[str, np.ndarray], model, variables):
         stack = {k[len("classifier.1."):]: v for k, v in sd.items()
                  if k.startswith("classifier.1.")}
         mlp_scope = next(k for k in params if k.startswith("KanMLP"))
-        mlp = dict(params[mlp_scope])
-        j = 0
-        while any(k.startswith(f"layers.{j}.") for k in stack):
-            sub = {k[len(f"layers.{j}."):]: v for k, v in stack.items()
-                   if k.startswith(f"layers.{j}.")}
-            if not sub:
-                j += 1
-                continue
-            if "base_weight" in sub:  # a KANLayer (b-spline head)
-                scope = f"KANLinear_{j}"
-                K = sub["spline_weight"].shape[-1]
-                out_f = sub["base_weight"].shape[0]
-                inner = dict(mlp[scope])
-                inner["base_w"] = convert_linear(sub["base_weight"])
-                inner["spline_w"] = convert_linear(
-                    sub["spline_weight"].reshape(out_f, -1))
-                inner["prelu"] = np.asarray(sub["prelu.weight"]).reshape(())
-                ln = dict(inner["LayerNorm_0"])
-                ln["weight"] = np.asarray(sub["layer_norm.weight"])
-                ln["bias"] = np.asarray(sub["layer_norm.bias"])
-                inner["LayerNorm_0"] = ln
-                mlp[scope] = inner
-            j += 1
-        params[mlp_scope] = mlp
+        params[mlp_scope] = _graft_bspline_head(
+            stack, params[mlp_scope], model.kan_classifier)
     out = {"params": params}
     if stats:
         out["batch_stats"] = stats
@@ -271,6 +241,45 @@ def convert_vggkan(sd: Mapping[str, np.ndarray], model, variables):
         if col not in out:
             out[col] = v
     return out
+
+
+def _block_scope(params, base: str) -> str:
+    """Resolve a block scope that may be remat-wrapped: flax names
+    nn.remat(_Cls) scopes 'Checkpoint_Cls_{i}' (same fallback the EffV2
+    converter uses — a remat'd model otherwise KeyErrors here)."""
+    ck = f"Checkpoint{base}"
+    return ck if ck in params else base
+
+
+def _graft_bspline_head(stack, mlp, kan_classifier):
+    """Reference MLP_KAN_FACTORY['KAN'] stack (keys layers.{j}.*) -> the
+    model's KanMLP scope dict (mutated copy returned).  Only the default
+    B-spline kan_classifier migrates; other dense families raise loudly
+    instead of silently leaving the head at random init."""
+    mlp = dict(mlp)
+    layer_idx = sorted({int(k.split(".")[1]) for k in stack
+                        if k.startswith("layers.")})
+    for pos, j in enumerate(layer_idx):
+        sub = {k[len(f"layers.{j}."):]: v for k, v in stack.items()
+               if k.startswith(f"layers.{j}.")}
+        if "spline_weight" not in sub:
+            raise NotImplementedError(
+                f"KAN-head migration supports the default B-spline "
+                f"kan_classifier only; got a '{kan_classifier}' stack "
+                f"(layers.{j} keys: {sorted(sub)[:4]}...)")
+        scope = f"KANLinear_{pos}"
+        out_f = sub["base_weight"].shape[0]
+        inner = dict(mlp[scope])
+        inner["base_w"] = convert_linear(sub["base_weight"])
+        inner["spline_w"] = convert_linear(
+            sub["spline_weight"].reshape(out_f, -1))
+        inner["prelu"] = np.asarray(sub["prelu.weight"]).reshape(())
+        ln = dict(inner["LayerNorm_0"])
+        ln["weight"] = np.asarray(sub["layer_norm.weight"])
+        ln["bias"] = np.asarray(sub["layer_norm.bias"])
+        inner["LayerNorm_0"] = ln
+        mlp[scope] = inner
+    return mlp
 
 
 def _graft_feature_convs(sd, params, stats, family: str, groups: int,
@@ -301,9 +310,10 @@ def _trees(variables):
 def _sub_sd(sd: Mapping[str, np.ndarray], prefix: str):
     p = prefix + "."
     out = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
-    if any(k.startswith("module.") for k in out):  # L1 wrapper
-        out = {k[len("module."):]: v for k, v in out.items()}
-    return out
+    # L1 wrapper: strip per-key (a blanket strip would mangle any
+    # non-wrapped siblings sharing the prefix)
+    return {(k[len("module."):] if k.startswith("module.") else k): v
+            for k, v in out.items()}
 
 
 def _norm_scope(scope_dict):
@@ -460,7 +470,15 @@ def convert_mobilenet_v2(sd: Mapping[str, np.ndarray], model, variables):
     _kan_into(params, stats, _conv_scope(family, kan_i),
               _sub_sd(sd, f"features.{n}"), family, model.groups)
 
-    if model.classifier_type != "KAN":
+    if model.classifier_type == "KAN":
+        # classifier = Sequential(flatten, head_dropout, fc=KAN stack):
+        # keys classifier.fc.layers.{j}.* (kan_mobilenetv2.py:394-397)
+        stack = {k[len("classifier.fc."):]: v for k, v in sd.items()
+                 if k.startswith("classifier.fc.")}
+        mlp_scope = next(k for k in params if k.startswith("KanMLP"))
+        params[mlp_scope] = _graft_bspline_head(
+            stack, params[mlp_scope], model.kan_classifier)
+    else:
         params["Linear_0"] = _linear_params(sd, "classifier.fc")
 
     out = {"params": params}
@@ -549,7 +567,7 @@ def convert_mobilenet_v3(sd: Mapping[str, np.ndarray], model, variables):
               _sub_sd(sd, f"features.{len(cfgs) + 1}"), family, model.groups)
 
     for n, cnf in enumerate(cfgs, start=1):
-        bscope = f"_MNV3Block_{n - 1}"
+        bscope = _block_scope(params, f"_MNV3Block_{n - 1}")
         bp = dict(params[bscope])
         bs = dict(stats.get(bscope, {}))
         j = 0

@@ -303,22 +303,36 @@ def export_vggkan_state_dict(model, variables) -> Dict[str, np.ndarray]:
         _emit(sd, "classifier.1", _export_linear(params["Linear_0"]))
     elif model.classifier_type == "KAN":
         mlp_scope = next(k for k in params if k.startswith("KanMLP"))
-        mlp = params[mlp_scope]
-        for scope, inner in mlp.items():
-            if not scope.startswith("KANLinear_"):
-                continue
-            jj = int(scope.split("_")[-1])
-            pre = f"classifier.1.layers.{jj}"
-            base = inner["base_w"]            # (in, out)
-            in_f, out_f = base.shape
-            spline = inner["spline_w"]        # (in*K, out)
-            K = spline.shape[0] // in_f
-            sd[f"{pre}.base_weight"] = base.T
-            sd[f"{pre}.spline_weight"] = spline.T.reshape(out_f, in_f, K)
-            sd[f"{pre}.prelu.weight"] = inner["prelu"].reshape(1)
-            sd[f"{pre}.layer_norm.weight"] = inner["LayerNorm_0"]["weight"]
-            sd[f"{pre}.layer_norm.bias"] = inner["LayerNorm_0"]["bias"]
+        _export_bspline_head(sd, params[mlp_scope], "classifier.1.layers",
+                             model.kan_classifier)
     return sd
+
+
+def _export_bspline_head(sd, mlp, prefix: str, kan_classifier):
+    """KanMLP scope -> reference MLP_KAN_FACTORY['KAN'] keys
+    ({prefix}.{j}.*).  Only the default B-spline kan_classifier exports;
+    other dense families raise loudly instead of silently omitting the
+    head (strict=False on the torch side would keep a random head)."""
+    other = [s for s in mlp
+             if not (s.startswith("KANLinear_") or s.startswith("Dropout"))]
+    if other:
+        raise NotImplementedError(
+            f"KAN-head export supports the default B-spline "
+            f"kan_classifier only; got '{kan_classifier}' scopes {other}")
+    for scope, inner in mlp.items():
+        if not scope.startswith("KANLinear_"):
+            continue
+        jj = int(scope.split("_")[-1])
+        pre = f"{prefix}.{jj}"
+        base = inner["base_w"]            # (in, out)
+        in_f, out_f = base.shape
+        spline = inner["spline_w"]        # (in*K, out)
+        K = spline.shape[0] // in_f
+        sd[f"{pre}.base_weight"] = base.T
+        sd[f"{pre}.spline_weight"] = spline.T.reshape(out_f, in_f, K)
+        sd[f"{pre}.prelu.weight"] = inner["prelu"].reshape(1)
+        sd[f"{pre}.layer_norm.weight"] = inner["LayerNorm_0"]["weight"]
+        sd[f"{pre}.layer_norm.bias"] = inner["LayerNorm_0"]["bias"]
 
 
 # ------------------------------------------------------------ model zoo
@@ -446,7 +460,11 @@ def export_mobilenet_v2_state_dict(model, variables) -> Dict[str, np.ndarray]:
             c_in = c_out
     kan_out(f"features.{n}", kan_i, model.groups)
 
-    if model.classifier_type != "KAN":
+    if model.classifier_type == "KAN":
+        mlp_scope = next(k for k in params if k.startswith("KanMLP"))
+        _export_bspline_head(sd, params[mlp_scope], "classifier.fc.layers",
+                             model.kan_classifier)
+    else:
         _emit(sd, "classifier.fc", _export_linear(params["Linear_0"]))
     return sd
 
@@ -477,8 +495,13 @@ def export_mobilenet_v3_state_dict(model, variables) -> Dict[str, np.ndarray]:
             stats.get(_conv_scope(family, 1), {}), model.groups)
 
     for n, cnf in enumerate(cfg_list, start=1):
-        bp = params[f"_MNV3Block_{n - 1}"]
-        bs = stats.get(f"_MNV3Block_{n - 1}", {})
+        # remat'd blocks are scoped Checkpoint_MNV3Block_{i} (same
+        # fallback as the EffV2 exporter)
+        bscope = (f"Checkpoint_MNV3Block_{n - 1}"
+                  if f"Checkpoint_MNV3Block_{n - 1}" in params
+                  else f"_MNV3Block_{n - 1}")
+        bp = params[bscope]
+        bs = stats.get(bscope, {})
         j = 0
         kan_i = 0
         if cnf.expanded_channels != cnf.input_channels:

@@ -229,3 +229,54 @@ def test_wavkan_conv_export_roundtrip(ver):
         variables["params"], groups=2, wav_version=ver,
         stats=variables.get("batch_stats", {}))
     _check(out, sd)
+
+
+def _fwd(model, variables, x):
+    return np.asarray(jax.jit(
+        lambda v, xx: model.apply(v, xx, train=False))(variables, x))
+
+
+def test_mnv2_kan_head_migrates_both_ways():
+    """MobileNetV2 with the KAN classifier head: export emits the
+    classifier.fc.layers.* keys and import grafts them back — the head
+    used to be silently skipped in BOTH directions, leaving it at random
+    init with no diagnostic."""
+    from convkan_tpu.models.mobilenetv2 import mobilenet_v2_kan
+    from convkan_tpu.utils.torch_compat import convert_mobilenet_v2
+    from convkan_tpu.utils.torch_export import export_mobilenet_v2_state_dict
+
+    model = mobilenet_v2_kan(10, arch="kan_small", kan_conv="KAN",
+                             classifier_type="KAN")
+    x = np.random.RandomState(0).randn(2, 32, 32, 3).astype(np.float32)
+    v1 = jax.jit(lambda r, xx: model.init({"params": r}, xx, train=False)
+                 )(jax.random.PRNGKey(0), x)
+    sd = export_mobilenet_v2_state_dict(model, v1)
+    assert any(k.startswith("classifier.fc.layers.0.") for k in sd), (
+        "KAN head missing from the exported state_dict")
+    # graft into a DIFFERENT init: forward must match the source exactly
+    v2 = jax.jit(lambda r, xx: model.init({"params": r}, xx, train=False)
+                 )(jax.random.PRNGKey(1), x)
+    assert np.abs(_fwd(model, v1, x) - _fwd(model, v2, x)).max() > 1e-6
+    v2m = convert_mobilenet_v2(sd, model, v2)
+    np.testing.assert_allclose(_fwd(model, v2m, x), _fwd(model, v1, x),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_mnv3_remat_scopes_migrate_both_ways():
+    """MobileNetV3 built with remat=True scopes its blocks
+    Checkpoint_MNV3Block_{i}; both converter and exporter must resolve
+    that naming (they used to KeyError on _MNV3Block_{i})."""
+    from convkan_tpu.models.mobilenetv3 import mobilenet_v3_kan
+    from convkan_tpu.utils.torch_compat import convert_mobilenet_v3
+    from convkan_tpu.utils.torch_export import export_mobilenet_v3_state_dict
+
+    model = mobilenet_v3_kan("small", 10, kan_conv="KAN", remat=True)
+    x = np.random.RandomState(0).randn(2, 64, 64, 3).astype(np.float32)
+    v1 = jax.jit(lambda r, xx: model.init({"params": r}, xx, train=False)
+                 )(jax.random.PRNGKey(0), x)
+    sd = export_mobilenet_v3_state_dict(model, v1)
+    v2 = jax.jit(lambda r, xx: model.init({"params": r}, xx, train=False)
+                 )(jax.random.PRNGKey(1), x)
+    v2m = convert_mobilenet_v3(sd, model, v2)
+    np.testing.assert_allclose(_fwd(model, v2m, x), _fwd(model, v1, x),
+                               rtol=1e-6, atol=1e-6)
