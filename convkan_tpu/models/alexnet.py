@@ -110,6 +110,10 @@ class AlexNetKAN(nn.Module):
         x = nn.Dropout(rate=p)(x, deterministic=not train)
         x = Linear(in_features=hidden, out_features=hidden)(x)
         x = nn.relu(x)
+        # reference quirk: classifier_type='AlexNetKAN' NAMES a KAN head
+        # (and builds a factory) but its head construction falls through
+        # to the plain 3x-Linear else-branch (kan_alexnet.py:151,195-199)
+        # — replicated: only 'KAN' gets the KAN final layer
         if self.classifier_type == "KAN":
             head = make_mlp_classifier_factory(
                 self.kan_classifier, dropout=p,
@@ -128,8 +132,7 @@ def alexnet_kan(num_classes: int = 1000, input_channels: int = 3,
     """Builder parity (kan_alexnet.py:259-313)."""
     overrides = {k: kwargs.pop(k) for k in list(kwargs)
                  if k.startswith("classifier_") and k != "classifier_type"}
-    kwargs.setdefault("arch", "default")
-    if kwargs.get("arch") is None:
+    if kwargs.get("arch") is None:  # missing key or explicit None
         kwargs["arch"] = "default"
     field_names = {f.name for f in dataclasses.fields(AlexNetKAN)}
     kwargs = {k: v for k, v in kwargs.items() if k in field_names}

@@ -18,10 +18,19 @@ def make_conv_factory(conv_type: str, kan_conv: Optional[str], *,
                       spline_order=3, grid_size=5, base_activation="silu",
                       grid_range=(-1, 1), dropout=0.0, l1_decay=0.0,
                       degree=3, norm_layer=None, kan_norm_layer=None,
-                      affine=False, **extra) -> Callable:
+                      affine=False, std_activation="relu",
+                      **extra) -> Callable:
     """Returns fn(in_planes, out_planes, kernel_size=..., stride=...,
     padding=..., groups=...) building either a KAN conv (factory-dispatched)
-    or a standard Conv->Norm->ReLU block."""
+    or a standard Conv->Norm->Act block.
+
+    `std_activation` is the conv_type='conv' path's activation — each
+    reference model hardcodes its own (ReLU6 for MNv2, the model act for
+    EffV2 incl. projections, RE/HS for MNv3, ReLU for VGG/AlexNet), so
+    models pass it explicitly.  The per-call `activation=` kwarg overrides
+    it (MNv2's linear projection); on the kanconv path that kwarg is
+    ignored, exactly like the reference's signature filtering drops
+    activation_layer for KAN factories."""
     if conv_type == "kanconv":
         key = kan_conv if kan_conv in CONV_KAN_FACTORY else "KAN"
         fn = CONV_KAN_FACTORY[key]
@@ -43,10 +52,19 @@ def make_conv_factory(conv_type: str, kan_conv: Optional[str], *,
         # reference's inspect.signature filtering pattern lets e.g.
         # affine/eps/momentum reach the norm layer)
         filtered = {k: v for k, v in args.items() if k in valid or has_kwargs}
-        return partial(fn, **filtered)
+        part = partial(fn, **filtered)
+
+        def kan_builder(in_planes, out_planes, activation="__ignored__",
+                        **kw):
+            # per-call std activation overrides don't apply to KAN layers
+            # (the reference signature-filters activation_layer away for
+            # CONV_KAN_FACTORY wrappers, e.g. kan_mobilenetv2.py:286)
+            return part(in_planes, out_planes, **kw)
+
+        return kan_builder
 
     def std_conv(in_planes, out_planes, kernel_size, stride=1, padding=None,
-                 groups=1, dilation=1, activation="relu"):
+                 groups=1, dilation=1, activation="__factory__"):
         from ..ops.conv import same_padding
 
         # padding=None means auto-'same', exactly like the reference's
@@ -56,7 +74,9 @@ def make_conv_factory(conv_type: str, kan_conv: Optional[str], *,
             kernel_size=kernel_size, stride=stride,
             padding=(padding if padding is not None
                      else same_padding(kernel_size, dilation)),
-            dilation=dilation, groups=groups, base_activation=activation,
+            dilation=dilation, groups=groups,
+            base_activation=(std_activation if activation == "__factory__"
+                             else activation),
             norm_layer=resolve_norm(norm_layer),
             norm_kwargs={"affine": affine})
 

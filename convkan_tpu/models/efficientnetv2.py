@@ -33,9 +33,6 @@ class MBConfig:
     num_layers: int
     se_ratio: Optional[float] = None
 
-    def expanded(self) -> int:
-        return _make_divisible(self.input_channels * self.expand_ratio, 8)
-
 
 def _cfg(block_type, t, k, s, ci, co, n, wm, dm, se=None) -> MBConfig:
     return MBConfig(block_type, t, k, s,
@@ -111,17 +108,20 @@ class _EffBlock(nn.Module):
             grid_range=mc["grid_range"], dropout=mc["conv_dropout"],
             l1_decay=mc["l1_decay"], degree=mc["degree"],
             norm_layer=mc["norm_layer"], kan_norm_layer=mc["norm_layer"],
-            affine=mc["affine"])
+            affine=mc["affine"], std_activation=act)
         # project convs get base_activation=None in the reference
         # (kan_efficientnetv2.py:170,262) -> the KAN layer's base path is
-        # Identity there
+        # Identity there.  std path quirk: the reference's std wrapper
+        # ignores its base_activation param and closes over the MODEL
+        # activation (kan_efficientnetv2.py:363), so std projections stay
+        # activated — std_activation=act replicates that.
         conv_na = make_conv_factory(
             mc["conv_type"], mc["kan_conv"], spline_order=mc["spline_order"],
             grid_size=mc["grid_size"], base_activation=None,
             grid_range=mc["grid_range"], dropout=mc["conv_dropout"],
             l1_decay=mc["l1_decay"], degree=mc["degree"],
             norm_layer=mc["norm_layer"], kan_norm_layer=mc["norm_layer"],
-            affine=mc["affine"])
+            affine=mc["affine"], std_activation=act)
 
         def std_dw(c, k, stride):
             return StdConvBlock(
@@ -227,7 +227,7 @@ class EfficientNetV2KAN(nn.Module):
             grid_range=self.grid_range, dropout=self.conv_dropout,
             l1_decay=self.l1_decay, degree=self.degree,
             norm_layer=self.norm_layer, kan_norm_layer=self.norm_layer,
-            affine=self.affine)
+            affine=self.affine, std_activation=act)
 
         def std_dw(c, k, stride):
             return StdConvBlock(

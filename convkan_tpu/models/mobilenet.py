@@ -83,7 +83,10 @@ class MobileNetV1KAN(nn.Module):
             grid_range=self.grid_range, dropout=self.conv_dropout,
             l1_decay=self.l1_decay, degree=self.degree,
             norm_layer=self.norm_layer, kan_norm_layer=self.kan_norm_layer,
-            affine=self.affine)
+            affine=self.affine,
+            # reference std path: activation_layer = base_activation or
+            # ReLU (kan_mobilenet.py:171)
+            std_activation=self.base_activation or "relu")
 
     @nn.compact
     def __call__(self, x, train: bool = True):

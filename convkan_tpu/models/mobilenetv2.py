@@ -78,8 +78,16 @@ class MobileNetV2KAN(nn.Module):
             grid_range=self.grid_range, dropout=self.conv_dropout,
             l1_decay=self.l1_decay, degree=self.degree,
             norm_layer=self.norm_layer, kan_norm_layer=self.kan_norm_layer,
-            affine=self.affine)
+            affine=self.affine,
+            # reference std path: activation_layer = nn.ReLU6 for
+            # stem/expand/last (kan_mobilenetv2.py:234)
+            std_activation="relu6")
 
+        if self.arch not in ("default", "small", "kan_small"):
+            # the reference crashes with UnboundLocalError on unknown
+            # arches (kan_mobilenetv2.py:215-231); fail with a real error
+            raise ValueError(f"Unknown MobileNetV2 arch: {self.arch!r} "
+                             "(default | small | kan_small)")
         setting = V2_KAN_SMALL if self.arch == "kan_small" else V2_DEFAULT
         initial_stride = 2 if self.arch == "default" else 1
 
@@ -114,12 +122,13 @@ class MobileNetV2KAN(nn.Module):
                              groups=hidden)(y, train=train)
                 else:
                     y = std_dw(hidden, stride)(y, train=train)
-                # project: 1x1 KAN, "no activation" — the reference passes
-                # activation_layer=None into the factory kwargs; the KAN
-                # layer's own post-activation structure is unchanged
-                # (kan_mobilenetv2.py:146-156)
-                y = conv(hidden, c_out, kernel_size=1, stride=1)(
-                    y, train=train)
+                # project: "no activation" — the reference passes
+                # activation_layer=None (kan_mobilenetv2.py:146-156); the
+                # kanconv builder ignores the kwarg (signature-filtered in
+                # the reference), the std path honors it (linear
+                # bottleneck projection)
+                y = conv(hidden, c_out, kernel_size=1, stride=1,
+                         activation=None)(y, train=train)
                 x = x + y if use_res else y
                 c_in = c_out
 

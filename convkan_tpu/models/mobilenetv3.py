@@ -102,7 +102,8 @@ class _MNV3Block(nn.Module):
         cnf = self.cnf
         act = "hardswish" if cnf.use_hs else "relu"
 
-        def conv_block(in_c, out_c, k, stride, groups, dilation=1):
+        def conv_block(in_c, out_c, k, stride, groups, dilation=1,
+                       std_activation="__block__"):
             if mc["conv_type"] == "kanconv":
                 # the reference builds ONE kanconv factory partial with the
                 # model-level activation (kan_mobilenetv3.py:253-271); the
@@ -122,7 +123,9 @@ class _MNV3Block(nn.Module):
             return StdConvBlock(
                 in_planes=in_c, out_planes=out_c, kernel_size=k,
                 stride=stride, padding=dilation * (k - 1) // 2, groups=groups,
-                dilation=dilation, base_activation=act,
+                dilation=dilation,
+                base_activation=(act if std_activation == "__block__"
+                                 else std_activation),
                 norm_layer=resolve_norm(mc["norm_layer"]),
                 norm_kwargs=dict(mc["norm_kwargs"]))
 
@@ -151,7 +154,11 @@ class _MNV3Block(nn.Module):
                 input_channels=ec, squeeze_channels=squeeze,
                 activation=jax.nn.relu,
                 scale_activation=jax.nn.hard_sigmoid)(y)
-        y = conv_block(ec, cnf.out_channels, 1, 1, 1)(y, train=train)
+        # projection is LINEAR on the std path (activation_layer=None,
+        # kan_mobilenetv3.py:177); the kanconv branch keeps the family's
+        # structure (the reference filters the kwarg away there)
+        y = conv_block(ec, cnf.out_channels, 1, 1, 1,
+                       std_activation=None)(y, train=train)
         return x + y if use_res else y
 
 

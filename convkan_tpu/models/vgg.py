@@ -40,6 +40,11 @@ cfgs: dict[str, list] = {
 
 
 def _filtered(fn: Callable, kwargs: Mapping[str, Any]) -> dict:
+    """Named-parameter filter, NO **kwargs passthrough — deliberately
+    matching the reference's `k in signature(fn).parameters` check
+    (kan_vgg.py:92-94): keys like 'affine' that only a factory's
+    **norm_kwargs could absorb are dropped there too, so VGG KAN norms
+    never see affine in either implementation."""
     valid = signature(fn).parameters
     return {k: v for k, v in kwargs.items() if k in valid}
 
@@ -54,15 +59,19 @@ def make_classifier_factory(classifier_type: str, kan_classifier: Optional[str],
         return None, "None"
     kan_classifier = kan_classifier or "KAN"
     fn = MLP_KAN_FACTORY[kan_classifier]
+    def _ov(key, default):
+        # reference semantics: `classifier_X if ... is not None else X`
+        # (kan_vgg.py:238-244) — an explicit 0 must win over the default
+        v = overrides.get(key)
+        return v if v is not None else default
+
     args = {
-        "spline_order": overrides.get("classifier_spline_order") or spline_order,
-        "grid_size": overrides.get("classifier_grid_size") or grid_size,
-        "base_activation": overrides.get("classifier_base_activation") or "silu",
-        "grid_range": overrides.get("classifier_grid_range") or grid_range,
-        "l1_decay": (overrides.get("classifier_l1_decay")
-                     if overrides.get("classifier_l1_decay") is not None
-                     else l1_decay),
-        "degree": overrides.get("classifier_degree") or degree,
+        "spline_order": _ov("classifier_spline_order", spline_order),
+        "grid_size": _ov("classifier_grid_size", grid_size),
+        "base_activation": _ov("classifier_base_activation", "silu"),
+        "grid_range": _ov("classifier_grid_range", grid_range),
+        "l1_decay": _ov("classifier_l1_decay", l1_decay),
+        "degree": _ov("classifier_degree", degree),
         "dropout": 0.0,
         "first_dropout": False,
     }

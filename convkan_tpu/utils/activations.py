@@ -62,10 +62,15 @@ def prelu(x, alpha):
 # learnable parameter and is instantiated inside modules; the registry entry
 # exists for name parity and uses torch's init value as a constant slope when
 # used as a plain function.
+def relu6(x):
+    return jnp.minimum(jnp.maximum(x, 0.0), 6.0)
+
+
 ACTIVATIONS: dict[str, Optional[Callable]] = {
     "gelu": gelu,
     "silu": silu,
     "relu": relu,
+    "relu6": relu6,
     "leakyrelu": leakyrelu,
     "tanh": tanh,
     "sigmoid": sigmoid,

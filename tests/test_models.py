@@ -110,3 +110,80 @@ def test_std_conv_paths():
                          width_mult=0.25, conv_type="conv"),
     ]:
         _run(m)
+
+
+# ---------------------------------------------------------- std-path parity
+# conv_type='conv' activation placement, pinned behaviorally (flax
+# capture_intermediates): the reference gives each model its OWN std
+# activation scheme — MNv2 ReLU6 with a LINEAR projection
+# (kan_mobilenetv2.py:152,234), MNv3 RE/HS with a LINEAR projection
+# (kan_mobilenetv3.py:177), EffV2 applies the model activation even to
+# projections (its std wrapper closes over the outer activation_layer,
+# kan_efficientnetv2.py:363).  These used to be uniformly ReLU here.
+
+def _std_intermediates(model, hw=32, seed=0):
+    import numpy as np
+
+    x = jnp.asarray(np.random.RandomState(seed).randn(2, hw, hw, 3) * 2,
+                    jnp.float32)
+    v = jax.jit(lambda r, xx: model.init({"params": r}, xx, train=False)
+                )(jax.random.PRNGKey(0), x)
+    _, mods = model.apply(v, x, train=False, capture_intermediates=True)
+    flat = jax.tree_util.tree_flatten_with_path(mods["intermediates"])[0]
+    out = {}
+    for path, val in flat:
+        key = "/".join(getattr(p, "key", str(p)) for p in path)
+        out[key] = np.asarray(val)
+    return out
+
+
+@pytest.mark.slow
+def test_mnv2_std_activations():
+    from convkan_tpu.models.mobilenetv2 import mobilenet_v2_kan
+
+    inter = _std_intermediates(
+        mobilenet_v2_kan(10, arch="kan_small", conv_type="conv"))
+    # stem StdConvBlock_0: ReLU6 -> clamped to [0, 6]
+    stem = inter["StdConvBlock_0/__call__/[0]"]
+    assert stem.min() >= 0.0 and stem.max() <= 6.0
+    # first block (t=1: dw then project): StdConvBlock_2 is the linear
+    # projection -> must produce negatives
+    proj = inter["StdConvBlock_2/__call__/[0]"]
+    assert proj.min() < -1e-3, "MNv2 std projection must be linear"
+
+
+@pytest.mark.slow
+def test_mnv3_std_projection_linear():
+    from convkan_tpu.models.mobilenetv3 import mobilenet_v3_kan
+
+    inter = _std_intermediates(
+        mobilenet_v3_kan("small", 10, conv_type="conv"), hw=64)
+    # first block (RE, no expand): blocks scope _MNV3Block_0 contains the
+    # depthwise StdConvBlock_0 (relu, >= 0) and the projection
+    # StdConvBlock_1 (linear, negatives)
+    dw = inter["_MNV3Block_0/StdConvBlock_0/__call__/[0]"]
+    proj = inter["_MNV3Block_0/StdConvBlock_1/__call__/[0]"]
+    assert dw.min() >= 0.0
+    assert proj.min() < -1e-3, "MNv3 std projection must be linear"
+
+
+@pytest.mark.slow
+def test_effv2_std_projection_keeps_model_activation():
+    import numpy as np
+
+    from convkan_tpu.models.efficientnetv2 import efficientnetv2_kan_small
+
+    inter = _std_intermediates(
+        efficientnetv2_kan_small(arch="tiny", num_classes=10,
+                                 conv_type="conv"))
+    # EVERY std conv block output must respect SiLU's lower bound
+    # (~-0.2785): the reference's std wrapper applies the model activation
+    # even to MBConv projections (kan_efficientnetv2.py:363 quirk)
+    blocks = {k: v for k, v in inter.items()
+              if k.endswith("__call__/[0]") and len(k.split("/")) >= 3
+              and k.split("/")[-3].startswith("StdConvBlock")}
+    assert blocks, f"no std blocks captured: {sorted(inter)[:8]}"
+    for k, v in blocks.items():
+        assert np.asarray(v).min() >= -0.2785 - 1e-4, (
+            f"{k}: min {np.asarray(v).min()} below SiLU bound — "
+            "projection lost the model activation")
