@@ -508,11 +508,14 @@ def measure_serving(batches=(1, 8, 1024), steps=100, bf16=False, int8=False):
             0, 256, (b, 32, 32, 3), dtype=np.uint8))
 
         def fwd(acc, xb):
-            x = normalize_batch(xb, "CIFAR10")
+            # inject the scan-carry dependence BEFORE the bf16 cast:
+            # `x + acc*0` with an f32 acc promotes bf16 back to f32 and
+            # silently un-casts the input
+            x = normalize_batch(xb, "CIFAR10") + acc * 0
             if bf16:
                 x = x.astype(jnp.bfloat16)
             with _cfg.quant_mode("int8" if int8 else None):
-                out = model.apply(variables, x + acc * 0, train=False)
+                out = model.apply(variables, x, train=False)
             return jnp.sum(out).astype(jnp.float32)
 
         def scan_steps(xb):
@@ -601,7 +604,6 @@ def measure_serving_http(concurrency=(1, 8, 32), n_requests=192):
                 t.join()
             wall = time.perf_counter() - t0
             flat = sorted(sum(lat, []))
-            m0 = engine.metrics()
             rows[f"clients_{c}"] = {
                 "qps": round(per * c / wall, 1),
                 "latency_ms_p50": round(flat[len(flat) // 2], 3),

@@ -90,10 +90,20 @@ def download(dataset: str, data_path: str = "./data", quiet: bool = False):
             if got != md5:
                 raise OSError(f"md5 mismatch for {dest}: {got} != {md5}")
         if post == "untar":
+            # skip when the extracted tree already exists (a verified
+            # cached archive used to be re-untarred on EVERY invocation,
+            # racing any concurrent reader of the batch files)
             with tarfile.open(dest) as tf:
-                tf.extractall(data_path, filter="data")
-            if not quiet:
-                print(f"extracted into {data_path}")
+                first = tf.next().name.split("/")[0]
+            top = os.path.join(data_path, first)
+            if os.path.isdir(top):
+                if not quiet:
+                    print(f"already extracted: {top}")
+            else:
+                with tarfile.open(dest) as tf:
+                    tf.extractall(data_path, filter="data")
+                if not quiet:
+                    print(f"extracted into {data_path}")
 
 
 def main(argv=None):

@@ -393,24 +393,14 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
 
 
 def predict_probs(model, state: TrainState, ds: ArrayDataset, dataset: str,
-                  batch_size: int):
+                  batch_size: int, imagenet: bool = False):
     """Softmax probabilities over a dataset (for ROC curves etc. —
-    evaluations.py:340 parity).  Returns (probs [N, C], targets [N])."""
-    @jax.jit
-    def fwd(state, x_uint8):
-        x = normalize_batch(x_uint8, dataset)
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        return jax.nn.softmax(model.apply(variables, x, train=False))
+    evaluations.py:340 parity).  Returns (probs [N, C], targets [N]).
+    Single implementation lives in plots.predict_probs (imagenet-aware;
+    this alias keeps existing import sites working)."""
+    from .plots import predict_probs as _impl
 
-    probs, targets = [], []
-    for xb, yb in epoch_batches(ds, batch_size, seed=0, shuffle=False):
-        n = len(xb)
-        xb, _, _ = _pad_batch(xb, yb, batch_size)
-        probs.append(np.asarray(fwd(state, xb))[:n])
-        targets.append(yb)
-    return np.concatenate(probs), np.concatenate(targets)
+    return _impl(model, state, ds, dataset, batch_size, imagenet=imagenet)
 
 
 def write_results_csv(path: str, model_name: str, history: dict):

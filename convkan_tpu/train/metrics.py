@@ -20,16 +20,22 @@ def confusion_matrix(preds, targets, num_classes: int):
 
 def macro_prf1(cm):
     """Macro precision/recall/F1 from a confusion matrix — matches
-    sklearn's macro average with zero_division=0 semantics."""
+    sklearn's macro average with zero_division=0 semantics, INCLUDING
+    its label set: sklearn averages only over labels observed in
+    y_true or y_pred, so classes absent from both (cm row+col all zero)
+    must not deflate the mean."""
     tp = jnp.diagonal(cm).astype(jnp.float32)
     pred_c = jnp.sum(cm, axis=0).astype(jnp.float32)
     true_c = jnp.sum(cm, axis=1).astype(jnp.float32)
+    observed = (pred_c + true_c) > 0
+    n_obs = jnp.maximum(jnp.sum(observed.astype(jnp.float32)), 1.0)
     precision = jnp.where(pred_c > 0, tp / jnp.maximum(pred_c, 1), 0.0)
     recall = jnp.where(true_c > 0, tp / jnp.maximum(true_c, 1), 0.0)
     f1 = jnp.where(precision + recall > 0,
                    2 * precision * recall / jnp.maximum(precision + recall, 1e-12),
                    0.0)
-    return jnp.mean(precision), jnp.mean(recall), jnp.mean(f1)
+    return (jnp.sum(precision) / n_obs, jnp.sum(recall) / n_obs,
+            jnp.sum(f1) / n_obs)
 
 
 def accuracy_from_cm(cm):

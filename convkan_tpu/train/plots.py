@@ -57,10 +57,18 @@ def _roc_curves(probs: np.ndarray, targets: np.ndarray,
     for c in range(probs.shape[1]):
         score = probs[:, c]
         pos = targets == c
-        order = np.argsort(-score)
+        order = np.argsort(-score, kind="stable")
+        score_sorted = score[order]
         pos_sorted = pos[order]
         tp = np.cumsum(pos_sorted)
         fp = np.cumsum(~pos_sorted)
+        # collapse tied thresholds (sklearn roc_curve semantics): keep only
+        # the LAST index of each run of equal scores, so ties contribute a
+        # single diagonal segment instead of an argsort-order-dependent
+        # staircase (saturated f32 softmax ties at exactly 0/1 are common)
+        last_of_run = np.r_[score_sorted[1:] != score_sorted[:-1], True]
+        tp = tp[last_of_run]
+        fp = fp[last_of_run]
         P = max(int(pos.sum()), 1)
         N = max(int((~pos).sum()), 1)
         tpr = np.concatenate([[0.0], tp / P])
@@ -191,9 +199,13 @@ def results_table(histories: Dict[str, dict], param_counts: Dict[str, int],
             for n in names]
     df = pd.DataFrame(df_data, index=names)
 
+    # ONE format() call: a chained second .format(dict) resets the display
+    # funcs of every unlisted column back to default (verified on pandas
+    # 3.x), wiping the '{:.4f}'/na_rep formatting
+    fmt = {c: "{:.4f}" for c in df.columns}
+    fmt["Number of Parameters"] = "{:,}"
     styled = (df.style.apply(_highlight_max, axis=0)
-              .format("{:.4f}", na_rep="N/A")
-              .format({"Number of Parameters": "{:,}"}))
+              .format(fmt, na_rep="N/A"))
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         df.to_csv(os.path.join(out_dir, "experiment_results.csv"),

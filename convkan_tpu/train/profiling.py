@@ -37,13 +37,18 @@ def debug_nans(enable: bool = True):
 
 
 class StepTimer:
-    """Per-step wall-clock timing with an explicit device sync on read.
+    """Per-step wall-clock timing.  JAX dispatch is ASYNC: without a
+    sync, each sample records only dispatch/queue time (microseconds) —
+    you MUST pass a device value from the step to `sync()`, which blocks
+    and folds the wait into the last sample.
 
     Usage:
         t = StepTimer()
         for batch in data:
             with t:
                 state, loss = step(state, *batch)
+            t.sync(loss)   # AFTER the block: folds the device wait into
+                           # the sample just closed
         print(t.mean_ms, t.p50_ms)
     """
 

@@ -72,12 +72,10 @@ def create_train_state(model, rng, sample_input, learning_rate=1e-3,
 
 
 def l1_penalty(params, decay: float):
-    """Explicit L1 loss term.  The reference's L1 wrapper registers a
-    backward hook that only writes grads when they are already zero/None
-    (utils/regularization.py:76-86) — effectively inert; we expose true L1
-    as an opt-in loss term instead."""
-    if decay <= 0:
-        return 0.0
-    return decay * sum(
-        jnp.sum(jnp.abs(p)) for p in jax.tree_util.tree_leaves(params)
-    )
+    """Explicit L1 loss term — single implementation lives in
+    utils/regularization.py (this alias keeps loop.py's import site).
+    The reference's L1 wrapper hook is effectively inert; we expose true
+    L1 as an opt-in loss term instead."""
+    from ..utils.regularization import l1_penalty as _l1
+
+    return _l1(params, decay)
