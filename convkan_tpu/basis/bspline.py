@@ -57,9 +57,7 @@ def bspline_basis(x, grid, spline_order: int):
     bases = ((xe >= grid[:-1]) & (xe < grid[1:])).astype(x.dtype)
     for k in range(1, spline_order + 1):
         left = grid[: -(k + 1)]
-        right = grid[k:-1]
         g_rs = grid[k + 1 :]
-        g_ls = grid[1:-k]
         dr = (grid32[k:-1] - grid32[: -(k + 1)]).astype(x.dtype)
         dd = (grid32[k + 1 :] - grid32[1:-k]).astype(x.dtype)
         dr = jnp.where(dr == 0, jnp.ones_like(dr), dr)

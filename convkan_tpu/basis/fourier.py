@@ -12,7 +12,9 @@ import jax.numpy as jnp
 
 def fourier_basis(x, grid_size: int):
     # unrolled over the (small, static) frequency count: no constant arange
-    # array, so the same function also runs inside Pallas kernels
-    cos = [jnp.cos(float(k) * x) for k in range(1, grid_size + 1)]
-    sin = [jnp.sin(float(k) * x) for k in range(1, grid_size + 1)]
-    return jnp.stack(cos + sin, axis=-1)
+    # array, so the same function also runs inside Pallas kernels.  Single
+    # implementation: poly.fourier_basis_list (imported lazily to avoid a
+    # module cycle).
+    from .poly import fourier_basis_list
+
+    return jnp.stack(fourier_basis_list(x, grid_size), axis=-1)

@@ -103,16 +103,11 @@ def bernstein_basis(x, degree: int):
 
     Note the reference's buffer starts as all-ones and each sweep j updates
     only the first (degree+1-j) slots; we replicate that exact computation
-    functionally.  Input must already be in [0, 1] (sigmoid squash).
-    """
-    cols = [jnp.ones_like(x) for _ in range(degree + 1)]
-    for j in range(1, degree + 1):
-        num_updates = degree + 1 - j
-        new_cols = [
-            cols[i] * (1 - x) + cols[i + 1] * x for i in range(num_updates)
-        ]
-        cols = new_cols + cols[num_updates:]
-    return jnp.stack(cols, axis=-1)
+    functionally (tests/test_math_oracle.py pins the resulting all-ones
+    quirk).  Input must already be in [0, 1] (sigmoid squash).  The single
+    implementation is bernstein_basis_list (the Pallas path consumes the
+    list form)."""
+    return jnp.stack(bernstein_basis_list(x, degree), axis=-1)
 
 
 def bessel_basis_list(x, degree: int):
@@ -192,14 +187,9 @@ def taylor_basis(x, degree: int):
     terms, not the max power (layers/taylor_kan_layers.py:130-152).  Slots
     beyond 0 are filled only when degree > 1, matching the reference's
     zero-init buffer semantics for degree == 1."""
-    polys = [jnp.ones_like(x)]
-    if degree > 1:
-        polys.append(x)
-        for i in range(2, degree):
-            polys.append(polys[-1] * x)
-    else:
-        polys += [jnp.zeros_like(x)] * (degree - 1)
-    return jnp.stack(polys[:degree], axis=-1) if degree > 0 else jnp.zeros(x.shape + (0,), x.dtype)
+    if degree <= 0:
+        return jnp.zeros(x.shape + (0,), x.dtype)
+    return jnp.stack(taylor_basis_list(x, degree), axis=-1)
 
 
 def _stacked(list_fn):
@@ -210,7 +200,8 @@ def _stacked(list_fn):
 
 
 def bernstein_basis_list(x, degree: int):
-    """List form of `bernstein_basis` (same de-Casteljau computation)."""
+    """The de-Casteljau sweep (single implementation; bernstein_basis
+    stacks it)."""
     cols = [jnp.ones_like(x) for _ in range(degree + 1)]
     for j in range(1, degree + 1):
         num_updates = degree + 1 - j
@@ -234,6 +225,7 @@ def taylor_basis_list(x, degree: int):
 
 
 def fourier_basis_list(x, grid_size: int):
+    """Single implementation; fourier.fourier_basis stacks it."""
     cos = [jnp.cos(float(k) * x) for k in range(1, grid_size + 1)]
     sin = [jnp.sin(float(k) * x) for k in range(1, grid_size + 1)]
     return cos + sin

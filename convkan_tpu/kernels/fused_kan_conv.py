@@ -46,13 +46,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile(h: int, max_tile: int = 16) -> Optional[int]:
-    for t in (max_tile, 8, 4, 2, 1):
-        if t <= h and h % t == 0:
-            return t
-    return None
-
-
 def _ru(v, m):
     return (v + m - 1) // m * m
 
@@ -198,7 +191,7 @@ def fused_kan_conv2d(
 def make_fused_kan_conv_op(*, basis_list_fn: Callable, num_basis: int,
                            base_act: Optional[Callable], kernel_size: int,
                            padding: int, degree_major: bool, has_base: bool,
-                           interpret: bool = False, n_extra: int = 0):
+                           interpret: bool = False):
     """Build a custom_vjp'd fused op.
 
     Forward = Pallas kernel (no HBM basis tensor).  Backward = recompute
@@ -266,7 +259,8 @@ def supported(ndim, stride, dilation, groups, kernel_size, H, W, C, K, O,
     if pad < 0:
         return False
     Ho = H + 2 * pad - k + 1
-    if Ho <= 0:
+    Wo = W + 2 * pad - k + 1
+    if Ho <= 0 or Wo <= 0:
         return False
     hp, wp_ = H + 2 * pad, W + 2 * pad
     if _vmem_bytes(hp, wp_, C, K, k, k, O) > 10 * 1024 * 1024:

@@ -324,6 +324,11 @@ def _get_op(wavelet_type: str, kh: int, kw: int, ph: int, pw: int,
         Hp, Wp = H + 2 * ph, W + 2 * pw
         Ho, Wo = Hp - kh + 1, Wp - kw + 1
         Bb = _pick_batch_block(B, Hp, Wp, Cin, O, kh, kw)
+        if Bb is None:
+            raise ValueError(
+                f"fused_wav_conv2d: working set exceeds VMEM even at "
+                f"batch-block 1 for shape B={B} HxW={H}x{W} Cin={Cin} "
+                f"O={O} k={kh}x{kw} — check wav_supported() first")
         pack = _lane_pack(O, Cin)
         x_pad = jnp.pad(x, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
         x_t = jnp.transpose(x_pad, (3, 0, 1, 2))        # (Cin, B, Hp, Wp)
@@ -374,6 +379,10 @@ def _get_op(wavelet_type: str, kh: int, kw: int, ph: int, pw: int,
         Hp, Wp = H + 2 * ph, W + 2 * pw
         Ho, Wo = Hp - kh + 1, Wp - kw + 1
         Bb = _pick_batch_block(B, Hp, Wp, Cin, O, kh, kw)
+        if Bb is None:
+            raise ValueError(
+                "fused_wav_conv2d backward: unsupported shape — check "
+                "wav_supported() first")
         nb = B // Bb
         Hg, Wg = Hp + kh - 1, Wp + kw - 1
         pack = _lane_pack(Cin, O)

@@ -73,6 +73,21 @@ def _padded_plane_bytes(Hp: int, Wp: int, C: int) -> int:
     return Hp * _round_up(Wp, 8) * _round_up(C, 128) * 4
 
 
+def _vmem_model(Hp, Wp, C, K, D, T, O):
+    """ONE VMEM sizing model shared by wide_supported (the eligibility
+    gate) and _make_core's block pickers — tuning either without the
+    other is exactly the drift that turns into compile-time OOMs.
+    Returns (w_bytes, fwd_bytes_per_image, bwd_bytes_per_image)."""
+    n_temps = 3 * K + 12          # live basis-recurrence temps (estimate)
+    plane = _padded_plane_bytes(Hp, Wp, C)
+    ez_bytes = Hp * _round_up(Wp, 8) * (
+        _round_up(D, 128) + 2 * _round_up(T * O, 128)) * 4
+    w_bytes = _round_up(D, 8) * _round_up(T * O, 128) * 4
+    fwd_img = n_temps * plane + ez_bytes
+    bwd_img = 5 * n_temps * plane // 2 + 2 * ez_bytes
+    return w_bytes, fwd_img, bwd_img
+
+
 def _round_up(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
@@ -273,16 +288,11 @@ def _make_core(*, basis_list_fn, has_base, K, k, O, C, H, W, p,
         specs.append(full)                     # w_all
         return specs
 
-    n_temps = 3 * K + 12          # live basis-recurrence temps (estimate)
-    plane = _padded_plane_bytes(Hp, Wp, C)
-    ez_bytes = Hp * _round_up(Wp, 8) * (
-        _round_up(D, 128) + 2 * _round_up(T * O, 128)) * 4
-    w_bytes = _round_up(D, 8) * _round_up(T * O, 128) * 4
+    w_bytes, fwd_img, bwd_img = _vmem_model(Hp, Wp, C, K, D, T, O)
 
     def run_fwd(xp, xap, w_all, extras):
         B = xp.shape[0]
-        bytes_img = n_temps * plane + ez_bytes
-        Bt = _pick_bt(B, bytes_img, 48 * 1024 * 1024 - 2 * w_bytes)
+        Bt = _pick_bt(B, fwd_img, 48 * 1024 * 1024 - 2 * w_bytes)
         out_spec = pl.BlockSpec((Bt, Ho, Wo, O), lambda b: (b, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
         args = [xp] + ([xap] if has_base else []) + [vmask] + list(extras) \
@@ -308,8 +318,7 @@ def _make_core(*, basis_list_fn, has_base, K, k, O, C, H, W, p,
 
     def run_bwd(xp, xap, w_all, extras, g):
         B = xp.shape[0]
-        bytes_img = 5 * n_temps * plane // 2 + 2 * ez_bytes
-        Bt = _pick_bt(B, bytes_img, 48 * 1024 * 1024 - 3 * w_bytes)
+        Bt = _pick_bt(B, bwd_img, 48 * 1024 * 1024 - 3 * w_bytes)
         g_spec = pl.BlockSpec((Bt, Ho, Wo, O), lambda b: (b, 0, 0, 0),
                               memory_space=pltpu.VMEM)
         in_specs = _in_specs(Bt, extras) + [g_spec]
@@ -424,16 +433,11 @@ def wide_supported(ndim, stride, dilation, groups, kernel_size, H, W, C, K,
         return False
     D = (K + (1 if has_base else 0)) * C
     T = k * k
-    w_bytes = _round_up(D, 8) * _round_up(T * O, 128) * 4
+    w_bytes, _, bwd_img = _vmem_model(Hp, Wp, C, K, D, T, O)
     # weights (w + dw accumulator) must leave room for activation blocks
     if 3 * w_bytes > 24 * 1024 * 1024:
         return False
     # one image's backward working set must fit in the VMEM budget
-    n_temps = 3 * K + 12
-    plane = _padded_plane_bytes(Hp, Wp, C)
-    ez_bytes = Hp * _round_up(Wp, 8) * (
-        _round_up(D, 128) + 2 * _round_up(T * O, 128)) * 4
-    if 5 * n_temps * plane // 2 + 2 * ez_bytes > \
-            48 * 1024 * 1024 - 3 * w_bytes:
+    if bwd_img > 48 * 1024 * 1024 - 3 * w_bytes:
         return False
     return True

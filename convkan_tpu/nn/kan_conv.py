@@ -1015,8 +1015,7 @@ class KanConvND(nn.Module):
             basis_list_fn=basis_list_fn, num_basis=self.num_basis,
             base_act=base_act, kernel_size=kshape[0], padding=int(pad),
             degree_major=(spec.layout == "degree_major"),
-            has_base=spec.has_base, interpret=self.pallas_interpret,
-            n_extra=len(extras))
+            has_base=spec.has_base, interpret=self.pallas_interpret)
         return op(x, dummy, poly_w, *extras)
 
 
