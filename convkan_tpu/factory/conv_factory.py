@@ -60,14 +60,22 @@ def kan_conv(in_planes, out_planes, kernel_size, spline_order=3, groups=1,
 
 def conv(in_planes, out_planes, kernel_size, groups=1, stride=1, dilation=1,
          padding=None, base_activation="gelu", norm_layer=BatchNorm,
-         l1_decay=0.0, dropout=0.0, **kwargs):
-    """Standard Dropout->Conv->Norm->Act block (layers/kan_conv.py:71-117)."""
+         l1_decay=0.0, dropout=0.0, norm_kwargs=None, **kwargs):
+    """Standard Dropout->Conv->Norm->Act block (layers/kan_conv.py:71-117).
+
+    **kwargs are accepted and DROPPED — the reference's `conv()` does the
+    same (its norm is built bare as `norm_layer(out_planes)`), so e.g.
+    `affine` passed by a model factory never reaches the norm here.  The
+    explicit `norm_kwargs` dict is the analogue of the reference's
+    partial'd norm_layer channel (models like MNv3 bake eps/momentum into
+    the norm_layer they hand every factory call, kan_mobilenetv3.py:246,
+    307)."""
     block = StdConvBlock(
         in_planes=in_planes, out_planes=out_planes, kernel_size=kernel_size,
         groups=groups, stride=stride, dilation=dilation,
         padding=_pad(padding, kernel_size, dilation),
         base_activation=base_activation, norm_layer=resolve_norm(norm_layer),
-        dropout=dropout)
+        norm_kwargs=dict(norm_kwargs or {}), dropout=dropout)
     return _mark_l1(block, l1_decay)
 
 

@@ -19,6 +19,7 @@ def make_conv_factory(conv_type: str, kan_conv: Optional[str], *,
                       grid_range=(-1, 1), dropout=0.0, l1_decay=0.0,
                       degree=3, norm_layer=None, kan_norm_layer=None,
                       affine=False, std_activation="relu",
+                      std_norm_kwargs=None, std_bias_when_not_affine=False,
                       **extra) -> Callable:
     """Returns fn(in_planes, out_planes, kernel_size=..., stride=...,
     padding=..., groups=...) building either a KAN conv (factory-dispatched)
@@ -30,7 +31,20 @@ def make_conv_factory(conv_type: str, kan_conv: Optional[str], *,
     models pass it explicitly.  The per-call `activation=` kwarg overrides
     it (MNv2's linear projection); on the kanconv path that kwarg is
     ignored, exactly like the reference's signature filtering drops
-    activation_layer for KAN factories."""
+    activation_layer for KAN factories.
+
+    `std_norm_kwargs` are norm ctor kwargs that reach STANDARD conv
+    blocks built by this factory (both conv_type='conv' and the
+    kanconv-path 'conv' key) — the analogue of the reference baking
+    eps/momentum into the norm_layer partial it hands every call
+    (kan_mobilenetv3.py:246,307).  `affine` deliberately does NOT ride
+    this channel on the kanconv-path 'conv' key: the reference's `conv()`
+    builds its norm bare, so affine is dropped there (while KAN factories
+    honor it via **norm_kwargs).
+
+    `std_bias_when_not_affine` replicates MobileNetV2's ConvNormActivation
+    quirk `bias = norm_layer is None or not affine`
+    (kan_mobilenetv2.py:47,294) on the conv_type='conv' path."""
     if conv_type == "kanconv":
         key = kan_conv if kan_conv in CONV_KAN_FACTORY else "KAN"
         fn = CONV_KAN_FACTORY[key]
@@ -46,6 +60,11 @@ def make_conv_factory(conv_type: str, kan_conv: Optional[str], *,
             "degree": degree,
         }
         args.update(extra)
+        if key == "conv" and std_norm_kwargs:
+            # the std 'conv' factory drops **kwargs like the reference's;
+            # eps/momentum-style norm kwargs arrive via its explicit
+            # norm_kwargs channel instead (see its docstring)
+            args["norm_kwargs"] = dict(std_norm_kwargs)
         valid = signature(fn).parameters
         has_kwargs = any(p.kind == p.VAR_KEYWORD for p in valid.values())
         # unknown keys flow into the factory's **norm_kwargs (the
@@ -69,6 +88,7 @@ def make_conv_factory(conv_type: str, kan_conv: Optional[str], *,
 
         # padding=None means auto-'same', exactly like the reference's
         # std wrapper (_calculate_same_padding, kan_mobilenet.py:219-224)
+        resolved = resolve_norm(norm_layer)
         return StdConvBlock(
             in_planes=in_planes, out_planes=out_planes,
             kernel_size=kernel_size, stride=stride,
@@ -77,8 +97,10 @@ def make_conv_factory(conv_type: str, kan_conv: Optional[str], *,
             dilation=dilation, groups=groups,
             base_activation=(std_activation if activation == "__factory__"
                              else activation),
-            norm_layer=resolve_norm(norm_layer),
-            norm_kwargs={"affine": affine})
+            norm_layer=resolved,
+            norm_kwargs={"affine": affine, **(std_norm_kwargs or {})},
+            use_bias=((resolved is None or not affine)
+                      if std_bias_when_not_affine else None))
 
     return std_conv
 

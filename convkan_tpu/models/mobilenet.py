@@ -82,7 +82,12 @@ class MobileNetV1KAN(nn.Module):
             base_activation=self.base_activation or "relu",
             grid_range=self.grid_range, dropout=self.conv_dropout,
             l1_decay=self.l1_decay, degree=self.degree,
-            norm_layer=self.norm_layer, kan_norm_layer=self.kan_norm_layer,
+            norm_layer=self.norm_layer,
+            # kan_norm_layer is dead in the reference's intended wiring:
+            # DepthwiseSeparable overrides norm_layer on every factory call
+            # (kan_mobilenet.py:92,106,121) — its kanconv path crashes
+            # before this matters, but the conv path shows the pattern
+            kan_norm_layer=self.norm_layer,
             affine=self.affine,
             # reference std path: activation_layer = base_activation or
             # ReLU (kan_mobilenet.py:171)

@@ -50,6 +50,7 @@ class MobileNetV2KAN(nn.Module):
     l1_decay: float = 0.0
     affine: bool = True
     norm_layer: Any = BatchNorm
+    # ctor-signature parity only — dead in the reference (see __call__)
     kan_norm_layer: Any = BatchNorm
     replace_depthwise: bool = False
     conv_dropout: float = 0.0
@@ -77,11 +78,19 @@ class MobileNetV2KAN(nn.Module):
             grid_size=self.grid_size, base_activation=self.base_activation,
             grid_range=self.grid_range, dropout=self.conv_dropout,
             l1_decay=self.l1_decay, degree=self.degree,
-            norm_layer=self.norm_layer, kan_norm_layer=self.kan_norm_layer,
+            norm_layer=self.norm_layer,
+            # kan_norm_layer is dead in the reference: InvertedResidual
+            # overrides norm_layer on every factory call
+            # (kan_mobilenetv2.py:107,121,137,153) and the stem/last convs
+            # do too (:329,:351)
+            kan_norm_layer=self.norm_layer,
             affine=self.affine,
             # reference std path: activation_layer = nn.ReLU6 for
             # stem/expand/last (kan_mobilenetv2.py:234)
-            std_activation="relu6")
+            std_activation="relu6",
+            # ConvNormActivation quirk: bias = norm is None or not affine
+            # (kan_mobilenetv2.py:294) on the conv_type='conv' path
+            std_bias_when_not_affine=True)
 
         if self.arch not in ("default", "small", "kan_small"):
             # the reference crashes with UnboundLocalError on unknown

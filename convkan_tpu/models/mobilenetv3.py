@@ -116,7 +116,13 @@ class _MNV3Block(nn.Module):
                     base_activation=mc["model_act"], grid_range=mc["grid_range"],
                     dropout=mc["conv_dropout"], l1_decay=mc["l1_decay"],
                     degree=mc["degree"], norm_layer=mc["norm_layer"],
-                    kan_norm_layer=mc["kan_norm_layer"], affine=mc["affine"],
+                    # the reference's kan_norm_layer is DEAD in MNv3: every
+                    # conv_layer_factory call overrides norm_layer with
+                    # effective_norm_layer (kan_mobilenetv3.py:116,137,155,
+                    # 302,320), so KAN layers get the model norm_layer with
+                    # its eps/momentum partial, never kan_norm_layer
+                    kan_norm_layer=mc["norm_layer"], affine=mc["affine"],
+                    std_norm_kwargs=mc["norm_extra"],
                     **mc["norm_extra"])
                 return f(in_c, out_c, kernel_size=k, stride=stride,
                          groups=groups, dilation=dilation)
@@ -183,6 +189,9 @@ class MobileNetV3KAN(nn.Module):
     degree: int = 3
     affine: bool = True
     norm_layer: Any = BatchNorm
+    # accepted for ctor-signature parity but DEAD, exactly like the
+    # reference: every factory call there overrides norm_layer with
+    # effective_norm_layer (kan_mobilenetv3.py:116,137,155,302,320)
     kan_norm_layer: Any = BatchNorm
     replace_depthwise: bool = False
     conv_dropout: float = 0.0
@@ -217,15 +226,17 @@ class MobileNetV3KAN(nn.Module):
             norm_kwargs.update(eps=0.001, momentum=0.01)
 
         def conv_factory(act):
+            extra = ({"eps": 0.001, "momentum": 0.01}
+                     if "eps" in norm_kwargs else {})
             return make_conv_factory(
                 self.conv_type, self.kan_conv, spline_order=self.spline_order,
                 grid_size=self.grid_size, base_activation=act,
                 grid_range=self.grid_range, dropout=self.conv_dropout,
                 l1_decay=self.l1_decay, degree=self.degree,
                 norm_layer=self.norm_layer,
-                kan_norm_layer=self.kan_norm_layer, affine=self.affine,
-                **({"eps": 0.001, "momentum": 0.01}
-                   if "eps" in norm_kwargs else {}))
+                # kan_norm_layer is dead in the reference (see _InvResBlock)
+                kan_norm_layer=self.norm_layer, affine=self.affine,
+                std_norm_kwargs=extra, **extra)
 
         def std_block(in_c, out_c, k, stride, groups, dilation, act):
             return StdConvBlock(
@@ -252,7 +263,7 @@ class MobileNetV3KAN(nn.Module):
             spline_order=self.spline_order, grid_size=self.grid_size,
             grid_range=self.grid_range, conv_dropout=self.conv_dropout,
             l1_decay=self.l1_decay, degree=self.degree,
-            norm_layer=self.norm_layer, kan_norm_layer=self.kan_norm_layer,
+            norm_layer=self.norm_layer,
             affine=self.affine, replace_depthwise=self.replace_depthwise,
             norm_kwargs=dict(norm_kwargs),
             norm_extra=({"eps": 0.001, "momentum": 0.01}

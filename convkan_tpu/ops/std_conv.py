@@ -70,17 +70,24 @@ class StdConvBlock(nn.Module):
     norm_layer: Any = None
     norm_kwargs: Mapping[str, Any] = dataclasses.field(default_factory=dict)
     dropout: float = 0.0
+    # None -> reference default (bias only without a norm).  MobileNetV2's
+    # ConvNormActivation instead uses `bias = norm_layer is None or not
+    # affine` (kan_mobilenetv2.py:47,294) — its model passes the resolved
+    # value explicitly.
+    use_bias: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         if self.dropout > 0:
             # reference uses plain nn.Dropout here (element-wise)
             x = nn.Dropout(rate=self.dropout)(x, deterministic=not train)
+        bias = (self.norm_layer is None if self.use_bias is None
+                else self.use_bias)
         y = Conv(
             in_planes=self.in_planes, out_planes=self.out_planes,
             kernel_size=self.kernel_size, ndim=self.ndim, stride=self.stride,
             padding=self.padding, dilation=self.dilation, groups=self.groups,
-            use_bias=self.norm_layer is None)(x)
+            use_bias=bias)(x)
         if self.norm_layer is not None:
             y = make_norm(self.norm_layer, self.out_planes,
                           **dict(self.norm_kwargs))(y, train=train)

@@ -139,11 +139,13 @@ def get_datasets(dataset: str, data_path: str = "./data",
     """Returns (train: ArrayDataset, test: ArrayDataset, classes)."""
     nc = 100 if dataset == "CIFAR100" else 10
     aug = dataset in ("CIFAR10", "CIFAR100")
+    if dataset not in ("MNIST", "SVHN", "CIFAR10", "CIFAR100"):
+        # validate even for synthetic data — otherwise a typo'd name
+        # surfaces later as an opaque KeyError inside the jitted train step
+        raise ValueError(dataset)
     if synthetic:
         xtr, ytr = _synthetic(dataset, synthetic_size, seed=0)
         xte, yte = _synthetic(dataset, max(synthetic_size // 4, 256), seed=1)
-    elif dataset not in ("MNIST", "SVHN", "CIFAR10", "CIFAR100"):
-        raise ValueError(dataset)
     else:
         try:
             if dataset == "MNIST":
@@ -314,10 +316,16 @@ def random_resized_crop(rng, x, size: int,
     boxes = sample_resized_crop_boxes(r_box, B, H, W, scale, ratio)
     i, j, h, w = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
     u = jnp.arange(size, dtype=jnp.float32)
-    # dst -> src: (u + 0.5) * (h / S) - 0.5, offset into the crop box
+    # dst -> src: (u + 0.5) * (h / S) - 0.5, offset into the crop box.
+    # Clamp at BOTH box edges: torchvision crops first then resizes, so a
+    # sample can never blend in pixels outside the (i, j, h, w) box — when
+    # upscaling (h < size) the last output rows' unclamped source
+    # coordinate exceeds h - 1 and would otherwise leak the row below the
+    # box into the bottom edge.
     rows = i[:, None] + jnp.clip(
-        (u[None] + 0.5) * (h[:, None] / size) - 0.5, 0.0, None)
-    cols_off = jnp.clip((u[None] + 0.5) * (w[:, None] / size) - 0.5, 0.0, None)
+        (u[None] + 0.5) * (h[:, None] / size) - 0.5, 0.0, h[:, None] - 1.0)
+    cols_off = jnp.clip((u[None] + 0.5) * (w[:, None] / size) - 0.5,
+                        0.0, w[:, None] - 1.0)
     if flip is not None:
         cols_off = jnp.where(flip[:, None], cols_off[:, ::-1], cols_off)
     cols = j[:, None] + cols_off

@@ -32,7 +32,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from . import checkpoint as ckpt_lib
 from .data import (ArrayDataset, epoch_batches, local_batch_slice,
-                   normalize_batch, prefetch_batches, train_batch)
+                   normalize_batch, prefetch_batches, put_batch, train_batch)
 from .metrics import (accuracy_from_cm, cross_entropy_loss, macro_prf1)
 from .state import TrainState, create_train_state, l1_penalty
 from ..utils.regularization import sown_losses_total
@@ -212,7 +212,10 @@ def make_timer_batch(ds: ArrayDataset, batch_size: int, batch_sharding=None):
     xb0, yb0 = next(epoch_batches(ds, batch_size, seed=0, shuffle=False))
     xb0 = _local_rows(_pad_batch(xb0, yb0, batch_size)[:2])[0]
     if batch_sharding is not None:
-        xb0 = jax.device_put(xb0, batch_sharding)
+        # put_batch, not raw device_put: under multi-host DP the rows here
+        # are this process's local slice of the global batch and must go
+        # through make_array_from_process_local_data
+        (xb0,) = put_batch((xb0,), batch_sharding)
     return xb0
 
 

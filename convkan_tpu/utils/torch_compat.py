@@ -641,9 +641,7 @@ def convert_efficientnetv2(sd: Mapping[str, np.ndarray], model, variables):
             expanded = _make_divisible(ci * cfg.expand_ratio, 8)
             pre = f"blocks.stage_{i}.{j}.block"
             # nn.remat renames the block scope Checkpoint_EffBlock_{b}
-            bscope = (f"Checkpoint_EffBlock_{b}"
-                      if f"Checkpoint_EffBlock_{b}" in params
-                      else f"_EffBlock_{b}")
+            bscope = _block_scope(params, f"_EffBlock_{b}")
             bp = dict(params[bscope])
             bs = dict(stats.get(bscope, {}))
             k = 0

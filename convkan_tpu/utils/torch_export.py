@@ -212,10 +212,10 @@ def export_wavkan_conv_state_dict(params: Mapping[str, Any], groups: int,
 # inverses of torch_compat's graft primitives
 
 def _np_trees(variables):
-    import jax
+    # single implementation lives next to the graft primitives it inverts
+    from .torch_compat import _trees
 
-    tree = jax.tree_util.tree_map(np.asarray, jax.device_get(variables))
-    return dict(tree["params"]), dict(tree.get("batch_stats", {}))
+    return _trees(variables)
 
 
 def _emit(sd: Dict[str, np.ndarray], prefix: str, sub: Mapping[str, Any]):
@@ -494,12 +494,11 @@ def export_mobilenet_v3_state_dict(model, variables) -> Dict[str, np.ndarray]:
     kan_out(f"features.{len(cfg_list) + 1}", params[_conv_scope(family, 1)],
             stats.get(_conv_scope(family, 1), {}), model.groups)
 
+    from .torch_compat import _block_scope
+
     for n, cnf in enumerate(cfg_list, start=1):
-        # remat'd blocks are scoped Checkpoint_MNV3Block_{i} (same
-        # fallback as the EffV2 exporter)
-        bscope = (f"Checkpoint_MNV3Block_{n - 1}"
-                  if f"Checkpoint_MNV3Block_{n - 1}" in params
-                  else f"_MNV3Block_{n - 1}")
+        # remat'd blocks are scoped Checkpoint_MNV3Block_{i}
+        bscope = _block_scope(params, f"_MNV3Block_{n - 1}")
         bp = params[bscope]
         bs = stats.get(bscope, {})
         j = 0
@@ -539,6 +538,8 @@ def export_efficientnetv2_state_dict(model, variables) -> Dict[str, np.ndarray]:
     from .torch_compat import REF_FAMILY, _conv_scope
 
     assert model.conv_type == "kanconv", "conv-only variant not supported"
+    from .torch_compat import _block_scope
+
     family = REF_FAMILY[model.kan_conv or "KAN"]
     params, stats = _np_trees(variables)
     kw = _conv_kw(model, family)
@@ -559,9 +560,7 @@ def export_efficientnetv2_state_dict(model, variables) -> Dict[str, np.ndarray]:
             ci = cfg.input_channels if j == 0 else cfg.out_channels
             expanded = _make_divisible(ci * cfg.expand_ratio, 8)
             pre = f"blocks.stage_{i}.{j}.block"
-            bscope = (f"Checkpoint_EffBlock_{b}"
-                      if f"Checkpoint_EffBlock_{b}" in params
-                      else f"_EffBlock_{b}")
+            bscope = _block_scope(params, f"_EffBlock_{b}")
             bp = params[bscope]
             bs = stats.get(bscope, {})
             kan_i = 0
