@@ -314,6 +314,51 @@ def test_random_resized_crop_flip():
                                atol=1e-5)
 
 
+def test_random_resized_crop_torch_oracle():
+    """Full parity with torchvision's crop-then-resize semantics
+    (utils/dataloader.py:44 uses RandomResizedCrop, whose tensor path is
+    crop + F.interpolate(bilinear, antialias=False)): for the exact boxes
+    the sampler draws, our warped output must equal torch cropping the box
+    FIRST and resizing after — pinning the box-edge clamp (an upscaled
+    sample must never blend pixels below/right of its box)."""
+    import torch
+    import torch.nn.functional as F
+
+    from convkan_tpu.train.data import (random_resized_crop,
+                                        sample_resized_crop_boxes)
+
+    B, H, W, S = 8, 40, 56, 32
+    scale, ratio = (0.08, 1.0), (3.0 / 4, 4.0 / 3)
+    x = np.random.RandomState(0).rand(B, H, W, 3).astype(np.float32)
+    rng = jax.random.PRNGKey(7)
+    y = np.asarray(random_resized_crop(rng, jnp.asarray(x), S,
+                                       scale=scale, ratio=ratio))
+    # reproduce the internal boxes: random_resized_crop splits rng and
+    # hands the first key to the box sampler (train/data.py:315)
+    r_box, _ = jax.random.split(rng)
+    boxes = np.asarray(
+        sample_resized_crop_boxes(r_box, B, H, W, scale, ratio))
+    # default scale floor 0.08 on 40x56 draws mostly sub-32px boxes, so
+    # the upscale (clamped) regime is exercised
+    assert (boxes[:, 2:] < S).any(), boxes
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    for b in range(B):
+        i, j, h, w = (int(v) for v in boxes[b])
+        crop = xt[b:b + 1, :, i:i + h, j:j + w]
+        ref = F.interpolate(crop, size=(S, S), mode="bilinear",
+                            align_corners=False, antialias=False)
+        np.testing.assert_allclose(
+            y[b], ref[0].permute(1, 2, 0).numpy(), atol=2e-5,
+            err_msg=f"sample {b} box {(i, j, h, w)}")
+
+
+def test_get_datasets_rejects_unknown_name_even_synthetic():
+    """A typo'd dataset name fails loudly up front instead of as an opaque
+    KeyError inside the jitted train step (eighth review pass)."""
+    with pytest.raises(ValueError):
+        get_datasets("IMAGENET", synthetic=True)
+
+
 @pytest.mark.slow
 def test_per_layer_l1_wrapper():
     """l1_decay on one factory-built layer penalizes only that layer

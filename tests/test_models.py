@@ -187,3 +187,78 @@ def test_effv2_std_projection_keeps_model_activation():
         assert np.asarray(v).min() >= -0.2785 - 1e-4, (
             f"{k}: min {np.asarray(v).min()} below SiLU bound — "
             "projection lost the model activation")
+
+
+# -------- eighth-review-pass pinning: norm-kwargs plumbing + bias quirk
+
+
+def test_std_factory_conv_drops_kwargs_keeps_norm_kwargs():
+    """The std 'conv' factory key accepts-and-DROPS **kwargs like the
+    reference's conv() (its norm is built bare, layers/kan_conv.py:71-117);
+    ctor norm kwargs only arrive via the explicit norm_kwargs channel."""
+    from convkan_tpu.factory.conv_factory import conv as conv_factory
+
+    blk = conv_factory(4, 8, 3, norm_kwargs={"eps": 0.5},
+                       affine=False, eps=0.25, momentum=0.9)
+    assert dict(blk.norm_kwargs) == {"eps": 0.5}
+
+
+def test_make_conv_factory_std_norm_kwargs_channels():
+    """std_norm_kwargs reach standard blocks on BOTH paths; `affine`
+    rides only the conv_type='conv' path (the kanconv-path 'conv' key
+    drops it, mirroring the reference's bare norm_layer(out_planes))."""
+    from convkan_tpu.models.common import make_conv_factory
+
+    f = make_conv_factory("kanconv", "conv", norm_layer="BatchNorm2d",
+                          std_norm_kwargs={"eps": 0.125}, affine=False)
+    blk = f(4, 8, kernel_size=3)
+    assert dict(blk.norm_kwargs) == {"eps": 0.125}
+
+    f2 = make_conv_factory("conv", None, norm_layer="BatchNorm2d", affine=False,
+                           std_norm_kwargs={"eps": 0.125, "momentum": 0.01})
+    b2 = f2(4, 8, kernel_size=3)
+    assert dict(b2.norm_kwargs) == {"affine": False, "eps": 0.125,
+                                    "momentum": 0.01}
+
+
+def test_make_conv_factory_mnv2_bias_quirk():
+    """std_bias_when_not_affine replicates ConvNormActivation's
+    `bias = norm_layer is None or not affine` (kan_mobilenetv2.py:47,294);
+    without the flag the reference default (bias only without a norm)
+    holds via use_bias=None."""
+    from convkan_tpu.models.common import make_conv_factory
+
+    mk = lambda **kw: make_conv_factory("conv", None, norm_layer="BatchNorm2d",
+                                        **kw)(4, 8, kernel_size=3)
+    assert mk(affine=False, std_bias_when_not_affine=True).use_bias is True
+    assert mk(affine=True, std_bias_when_not_affine=True).use_bias is False
+    assert mk(affine=False).use_bias is None
+
+
+def test_kan_norm_layer_dead_in_mobilenets():
+    """kan_norm_layer is ctor-signature parity only in MNv2/MNv3 — the
+    reference overrides norm_layer on every factory call
+    (kan_mobilenetv2.py:107-153, kan_mobilenetv3.py:116-320), so changing
+    it must not alter the variable tree (LayerNorm would add scale/bias
+    params and drop batch_stats if it were live)."""
+    import jax
+
+    from convkan_tpu.models.mobilenetv2 import mobilenet_v2_kan
+    from convkan_tpu.models.mobilenetv3 import mobilenet_v3_kan
+
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    rng = {"params": jax.random.PRNGKey(0)}
+
+    def tree(m):
+        shapes = jax.eval_shape(lambda r: m.init(r, x, train=False), rng)
+        return jax.tree_util.tree_map(lambda a: (a.shape, a.dtype), shapes)
+
+    for mk in (
+        lambda knl: mobilenet_v2_kan(10, input_channels=3, arch="kan_small",
+                                     width_mult=0.5, kan_conv="FastKAN",
+                                     kan_norm_layer=knl),
+        lambda knl: mobilenet_v3_kan("small", 10, kan_conv="ChebyKAN",
+                                     kan_norm_layer=knl),
+    ):
+        t_batch, t_layer = tree(mk("BatchNorm2d")), tree(mk("LayerNorm"))
+        assert t_batch == t_layer
