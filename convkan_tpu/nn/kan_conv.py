@@ -234,15 +234,16 @@ class KanConvND(nn.Module):
     # BENCH_NOTES.md for the measured verdict.
     # None = use the process default (set_perf_defaults).
     basis_build: Any = None
-    # spatial sharding: set a Mesh (+ axis name) to run both convs with the
-    # batch-height plane sharded over that axis via halo exchange
-    # (parallel/halo.py).  Supported scope (round 3): 2D, odd 'same'
-    # kernels (incl. rectangular), stride dividing the local shard height,
-    # groups (incl. depthwise), dilation; unsupported configs fall back to
-    # the plain conv (halo_supported).  The basis expansion is pointwise,
-    # so XLA SPMD keeps it local to each H-shard.
+    # spatial sharding: set a Mesh (+ axis name, or an (axis_h, axis_w)
+    # pair for 2-D spatial decomposition) to run both convs with the
+    # height (and/or width) plane sharded over those axes via halo
+    # exchange (parallel/halo.py).  Supported scope (round 3): 2D, odd
+    # 'same' kernels (incl. rectangular), stride dividing the local shard
+    # extent, groups (incl. depthwise), dilation; unsupported configs fall
+    # back to the plain conv (halo_supported).  The basis expansion is
+    # pointwise, so XLA SPMD keeps it local to each shard.
     spatial_mesh: Any = None
-    spatial_axis: str = "data"
+    spatial_axis: Any = "data"
     param_dtype: Any = jnp.float32
 
     @property
@@ -802,15 +803,18 @@ class KanConvND(nn.Module):
     def _halo_eligible(self, x, w, kw) -> bool:
         if self.spatial_mesh is None or kw["ndim"] != 2:
             return False
-        from ..parallel.halo import halo_supported
+        from ..parallel.halo import _axes_pair, halo_supported
 
-        kh = w.shape[0]
-        if kh < 3:
-            # k=1 needs no halo (GSPMD handles pointwise convs on sharded H)
+        ax_h, ax_w = _axes_pair(self.spatial_axis)
+        if not ((ax_h is not None and w.shape[0] >= 3)
+                or (ax_w is not None and w.shape[1] >= 3)):
+            # k=1 on every sharded dim needs no halo (GSPMD handles
+            # pointwise convs on sharded spatial planes)
             return False
         return halo_supported(self.spatial_mesh, self.spatial_axis,
-                              x.shape[1], kh, kw["stride"], kw["dilation"],
-                              kw["padding"])
+                              (x.shape[1], x.shape[2]),
+                              (w.shape[0], w.shape[1]),
+                              kw["stride"], kw["dilation"], kw["padding"])
 
     def _conv(self, x, w, conv_kwargs):
         """Plain conv, or halo-exchange conv with H sharded over

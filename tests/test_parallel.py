@@ -105,6 +105,56 @@ def test_halo_conv_stride_groups_dilation():
         atol=1e-5, rtol=1e-5)
 
 
+def test_halo_conv_2d_spatial_matches_full_conv():
+    """Round-3 widening: 2-D spatial decomposition — H over 'data' (4)
+    AND W over 'model' (2) simultaneously.  Corner halos come for free
+    from the sequential H-then-W exchange (the W hop ships the already
+    H-extended columns)."""
+    mesh = make_mesh(data=4, model=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8, 8), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 4), jnp.float32)
+    y_full = conv_nd(x, w, ndim=2, stride=1, padding=1)
+    xs = jax.device_put(
+        x, NamedSharding(mesh, P(None, "data", "model", None)))
+    np.testing.assert_allclose(
+        np.asarray(halo_conv2d(mesh, ("data", "model"), xs, w, padding=1)),
+        np.asarray(y_full), atol=1e-5, rtol=1e-5)
+
+    # 5x5 kernel (halo 2 on both axes) + stride 2
+    w5 = jax.random.normal(jax.random.PRNGKey(2), (5, 5, 8, 4), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(halo_conv2d(mesh, ("data", "model"), xs, w5,
+                               stride=2, padding=2)),
+        np.asarray(conv_nd(x, w5, ndim=2, stride=2, padding=2)),
+        atol=1e-5, rtol=1e-5)
+
+    # W-only sharding via (None, axis)
+    xw = jax.device_put(x, NamedSharding(mesh, P(None, None, "model", None)))
+    np.testing.assert_allclose(
+        np.asarray(halo_conv2d(mesh, (None, "model"), xw, w, padding=1)),
+        np.asarray(y_full), atol=1e-5, rtol=1e-5)
+
+
+def test_spatial_shard_2d_kan_conv():
+    """KanConvND(spatial_axis=(axis_h, axis_w)): the full layer (basis +
+    base + norm + act) under 2-D spatial decomposition equals the
+    unsharded layer."""
+    mesh = make_mesh(data=4, model=2)
+    kw = dict(family="kan", input_dim=6, output_dim=8, kernel_size=3,
+              ndim=2, padding=1, grid_size=5, spline_order=3)
+    plain = KanConvND(**kw)
+    sharded = KanConvND(spatial_mesh=mesh, spatial_axis=("data", "model"),
+                        **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8, 6), jnp.float32)
+    v = plain.init(jax.random.PRNGKey(1), x, train=False)
+    y_ref = plain.apply(v, x, train=False)
+    xs = jax.device_put(
+        x, NamedSharding(mesh, P(None, "data", "model", None)))
+    y_sh = jax.jit(lambda v, x: sharded.apply(v, x, train=False))(v, xs)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_spatial_shard_stride2_now_halo_eligible():
     """Stride-2 'same' convs run through the halo path (widened scope)
     and still match; truly ineligible configs (non-'same' padding) fall
