@@ -234,11 +234,11 @@ class KanConvND(nn.Module):
     # BENCH_NOTES.md for the measured verdict.
     # None = use the process default (set_perf_defaults).
     basis_build: Any = None
-    # spatial sharding: set a Mesh (+ axis name, or an (axis_h, axis_w)
-    # pair for 2-D spatial decomposition) to run both convs with the
-    # height (and/or width) plane sharded over those axes via halo
-    # exchange (parallel/halo.py).  Supported scope (round 3): 2D, odd
-    # 'same' kernels (incl. rectangular), stride dividing the local shard
+    # spatial sharding: set a Mesh (+ axis name, or an ndim-tuple of
+    # names/None for multi-axis spatial decomposition) to run both convs
+    # with those spatial planes sharded via halo exchange
+    # (parallel/halo.py).  Supported scope (round 3): 1/2/3-D, odd 'same'
+    # kernels (incl. rectangular), stride dividing the local shard
     # extent, groups (incl. depthwise), dilation; unsupported configs fall
     # back to the plain conv (halo_supported).  The basis expansion is
     # pointwise, so XLA SPMD keeps it local to each shard.
@@ -800,35 +800,15 @@ class KanConvND(nn.Module):
             y = y.astype(x.dtype)
         return self._post_combine(y, act, train)
 
-    def _halo_eligible(self, x, w, kw) -> bool:
-        if self.spatial_mesh is None or kw["ndim"] != 2:
-            return False
-        from ..parallel.halo import _axes_pair, halo_supported
-
-        ax_h, ax_w = _axes_pair(self.spatial_axis)
-        if not ((ax_h is not None and w.shape[0] >= 3)
-                or (ax_w is not None and w.shape[1] >= 3)):
-            # k=1 on every sharded dim needs no halo (GSPMD handles
-            # pointwise convs on sharded spatial planes)
-            return False
-        return halo_supported(self.spatial_mesh, self.spatial_axis,
-                              (x.shape[1], x.shape[2]),
-                              (w.shape[0], w.shape[1]),
-                              kw["stride"], kw["dilation"], kw["padding"])
-
     def _conv(self, x, w, conv_kwargs):
-        """Plain conv, or halo-exchange conv with H sharded over
-        `spatial_axis` when spatially sharded and eligible (stride /
-        groups / dilation supported — parallel/halo.py)."""
-        if self._halo_eligible(x, w, conv_kwargs):
-            from ..parallel.halo import halo_conv2d
+        """Plain conv, or halo-exchange conv with spatial planes sharded
+        over `spatial_axis` when spatially sharded and eligible (1/2/3-D;
+        stride / groups / dilation supported — parallel/halo.py)."""
+        if self.spatial_mesh is not None:
+            from ..parallel.halo import dispatch_conv
 
-            return halo_conv2d(
-                self.spatial_mesh, self.spatial_axis, x, w,
-                stride=conv_kwargs["stride"],
-                padding=conv_kwargs["padding"],
-                dilation=conv_kwargs["dilation"],
-                groups=conv_kwargs["groups"])
+            return dispatch_conv(self.spatial_mesh, self.spatial_axis,
+                                 x, w, **conv_kwargs)
         return conv_nd(x, w, **conv_kwargs)
 
     def _post_combine(self, y, act, train):
@@ -965,6 +945,11 @@ class KanConvND(nn.Module):
             # the fused kernels are f32-only; running them under
             # island_bf16 would silently compare different numerics in
             # any pallas-vs-XLA A/B — the island takes priority
+            return None
+        if self.spatial_mesh is not None:
+            # spatially sharded inputs go through the halo-exchange conv
+            # (parallel/halo.py); a pallas_call on a sharded global array
+            # would force a gather
             return None
         # pre-basis dropout can't cross the kernel boundary ('input'-site
         # dropout is fine: it applies to x before both paths)

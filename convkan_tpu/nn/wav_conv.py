@@ -69,11 +69,29 @@ class WavKANConvND(nn.Module):
     # None = the process default, shared with KanConvND
     # (kan_conv.set_perf_defaults(island_bf16=...)).
     island_bf16: Any = None
+    # spatial sharding via halo exchange, same contract as
+    # KanConvND.spatial_mesh/spatial_axis (parallel/halo.py): a Mesh plus
+    # one mesh-axis name (first spatial dim) or an ndim-tuple of
+    # names/None; ineligible configs fall back to the plain conv.  The
+    # psi expansion is pointwise, so XLA SPMD keeps it local to each
+    # shard; the 1x1 mix needs no halo.
+    spatial_mesh: Any = None
+    spatial_axis: Any = "data"
 
     @property
     def _island_bf16_on(self) -> bool:
         return (_PERF_DEFAULTS["island_bf16"] if self.island_bf16 is None
                 else self.island_bf16)
+
+    def _conv(self, x, w, **kw):
+        """Plain conv, or halo-exchange conv when spatially sharded and
+        eligible — same dispatch as KanConvND (parallel/halo.py)."""
+        if self.spatial_mesh is not None:
+            from ..parallel.halo import dispatch_conv
+
+            return dispatch_conv(self.spatial_mesh, self.spatial_axis,
+                                 x, w, ndim=self.ndim, **kw)
+        return conv_nd(x, w, ndim=self.ndim, **kw)
 
     @property
     def in_g(self):
@@ -97,6 +115,10 @@ class WavKANConvND(nn.Module):
             # the fused kernel is f32-only; silently running it in f32
             # under island_bf16 would make flag combinations measure
             # different numerics — the island takes priority (XLA path)
+            return None
+        if self.spatial_mesh is not None:
+            # spatially sharded inputs go through the halo-exchange conv
+            # (parallel/halo.py), not a pallas_call on a global array
             return None
         from ..kernels import fused_wav_conv as fwc
 
@@ -145,9 +167,9 @@ class WavKANConvND(nn.Module):
             kshape + (self.in_g, self.output_dim),
             self.param_dtype,
         )
-        base_out = conv_nd(
-            silu(x), base_w, ndim=self.ndim, stride=self.stride,
-            padding=self.padding, dilation=self.dilation, groups=self.groups,
+        base_out = self._conv(
+            silu(x), base_w, stride=self.stride, padding=self.padding,
+            dilation=self.dilation, groups=self.groups,
         )
 
         if self.dropout > 0 and train:
@@ -199,10 +221,9 @@ class WavKANConvND(nn.Module):
                 (B,) + spatial_shape
                 + (self.groups * self.out_g * self.in_g,)
             )
-            y = conv_nd(
-                flat, ww, ndim=self.ndim, stride=self.stride,
-                padding=self.padding, dilation=self.dilation,
-                groups=self.groups * self.out_g,
+            y = self._conv(
+                flat, ww, stride=self.stride, padding=self.padding,
+                dilation=self.dilation, groups=self.groups * self.out_g,
             )
             if y.dtype != x.dtype:
                 y = y.astype(x.dtype)  # leave the bf16 island before mix

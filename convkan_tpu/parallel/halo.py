@@ -1,20 +1,20 @@
-"""Spatial sharding with halo exchange for convolutions.
+"""Spatial sharding with halo exchange for convolutions (1/2/3-D).
 
-The reference has no parallelism at all; for very large images the natural
+The reference has no parallelism at all; for very large inputs the natural
 "long input" axis of this CNN workload is spatial (SURVEY.md §2.5).  This
-utility runs a 2D conv with one or both spatial planes sharded over mesh
-axes: each shard exchanges halo rows/columns with its neighbors via
+utility runs an N-D conv with any subset of its spatial planes sharded
+over mesh axes: each shard exchanges halo slices with its neighbors via
 jax.lax.ppermute inside shard_map, then convolves locally.  Edge shards
 receive zero halos, reproducing symmetric zero padding exactly.
 
-`axis` is either a single mesh-axis name (H sharded — the round-2 form) or
-a pair ``(axis_h, axis_w)`` with either element None (round-3 widening:
-2-D spatial decomposition).  Corner halos need no diagonal exchange: the
-H exchange runs first, so the subsequent W exchange ships the already
-H-extended columns — the W-neighbor's received top/bottom rows ARE the
+`axis` is either a single mesh-axis name (the FIRST spatial dim sharded —
+H for 2-D, the round-2 form) or an ndim-tuple of names/None per spatial
+dim (round-3 widening: multi-axis spatial decomposition).  Corner halos
+need no diagonal exchange: the exchanges run dim-by-dim, so each later
+hop ships the already-extended block — a neighbor's received halo IS the
 diagonal neighbor's corner data.
 
-Supported per sharded axis (VERDICT r2 weak #6 widening): stride (must
+Supported per sharded dim (VERDICT r2 weak #6 widening): stride (must
 divide the local shard extent), groups (incl. depthwise), dilation, and
 rectangular kernels.  The structural requirement that remains is an odd
 kernel with symmetric 'same' padding (p == dilation*(k-1)//2) on each
@@ -32,16 +32,20 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..ops.conv import conv_nd
 
 
-def _pair(v):
-    return tuple(v) if isinstance(v, (tuple, list)) else (v, v)
+def _tup(v, ndim: int):
+    if isinstance(v, (tuple, list)):
+        assert len(v) == ndim
+        return tuple(v)
+    return (v,) * ndim
 
 
-def _axes_pair(axis):
-    """Normalize `axis` to (axis_h, axis_w), each a mesh-axis name or None."""
+def _axes_tup(axis, ndim: int):
+    """Normalize `axis` to an ndim-tuple of mesh-axis names / None."""
     if axis is None or isinstance(axis, str):
-        return (axis, None)
+        return (axis,) + (None,) * (ndim - 1)
     ax = tuple(axis)
-    assert len(ax) == 2, f"spatial axis must be a name or a pair, got {axis}"
+    assert len(ax) == ndim, (
+        f"spatial axis must be a name or an {ndim}-tuple, got {axis}")
     return ax
 
 
@@ -60,29 +64,26 @@ def _axis_ok(n, extent, k, s, d, p) -> bool:
     return loc >= p  # a halo must come from ONE neighbor
 
 
-def halo_supported(mesh: Mesh, axis, H, kh, stride, dilation, padding) -> bool:
-    """True when halo_conv2d can run this sharding (see module docstring).
+def halo_supported(mesh: Mesh, axis, extents, ks, stride, dilation, padding,
+                   ndim: int = 2) -> bool:
+    """True when halo_conv_nd can run this sharding (see module docstring).
 
-    `axis`: mesh-axis name (H sharding) or (axis_h, axis_w) pair.
-    `H`/`kh`: the sharded-dim extents/kernel sizes — ints for the single-axis
-    form, (H, W)/(kh, kw) pairs for the 2-D form (unsharded entries ignored).
+    `axis`: mesh-axis name (first spatial dim) or an ndim-tuple.
+    `extents`/`ks`: the spatial extents / kernel sizes — ints (uniform) or
+    ndim-tuples (entries for unsharded dims are ignored).
     """
-    ax_h, ax_w = _axes_pair(axis)
-    sh, sw = _pair(stride)
-    dh, dw = _pair(dilation)
-    ph, pw = _pair(padding)
-    Hv, Wv = _pair(H)
-    khv, kwv = _pair(kh)
+    axes = _axes_tup(axis, ndim)
+    ss, ds, ps = _tup(stride, ndim), _tup(dilation, ndim), _tup(padding, ndim)
+    es, kk = _tup(extents, ndim), _tup(ks, ndim)
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    for name, ext, k, s, d, p in ((ax_h, Hv, khv, sh, dh, ph),
-                                  (ax_w, Wv, kwv, sw, dw, pw)):
+    for name, ext, k, s, d, p in zip(axes, es, kk, ss, ds, ps):
         if name is None:
             continue
         # unknown axis name: this is an eligibility predicate — fall back
         # to the plain conv instead of raising mid-forward
         if not _axis_ok(sizes.get(name), ext, k, s, d, p):
             return False
-    return ax_h is not None or ax_w is not None
+    return any(a is not None for a in axes)
 
 
 def _exchange(x_loc, axis_name: str, n: int, halo: int, dim: int):
@@ -91,8 +92,8 @@ def _exchange(x_loc, axis_name: str, n: int, halo: int, dim: int):
     if halo <= 0:
         return x_loc
     idx = jax.lax.axis_index(axis_name)
-    fwd = [(i, (i + 1) % n) for i in range(n)]   # send down (i+1)
-    bwd = [(i, (i - 1) % n) for i in range(n)]   # send up (i-1)
+    fwd = [(i, (i + 1) % n) for i in range(n)]   # send toward higher idx
+    bwd = [(i, (i - 1) % n) for i in range(n)]   # send toward lower idx
     ext = x_loc.shape[dim]
     last = jax.lax.slice_in_dim(x_loc, ext - halo, ext, axis=dim)
     first = jax.lax.slice_in_dim(x_loc, 0, halo, axis=dim)
@@ -103,43 +104,76 @@ def _exchange(x_loc, axis_name: str, n: int, halo: int, dim: int):
     return jnp.concatenate([lo, x_loc, hi], axis=dim)
 
 
-def halo_conv2d(mesh: Mesh, axis, x, w, *, stride=1, padding=1,
-                dilation=1, groups: int = 1):
-    """x: (B, H, W, C) with H (and/or W) sharded over `axis`;
-    w: (kh, kw, C_g, O).  Returns (B, H_out, W_out, O) sharded the same
-    way.  `axis`: a mesh-axis name (H) or an (axis_h, axis_w) pair."""
-    ax_h, ax_w = _axes_pair(axis)
-    kh, kw = w.shape[0], w.shape[1]
-    sh, sw = _pair(stride)
-    dh, dw = _pair(dilation)
-    ph, pw = _pair(padding)
+def halo_conv_nd(mesh: Mesh, axis, x, w, *, ndim: int, stride=1, padding=1,
+                 dilation=1, groups: int = 1):
+    """x: (B, *S, C) with any spatial dims sharded over `axis`;
+    w: (*K, C_g, O).  Returns (B, *S_out, O) sharded the same way.
+    `axis`: a mesh-axis name (first spatial dim) or an ndim-tuple of
+    names/None."""
+    axes = _axes_tup(axis, ndim)
+    ks = w.shape[:ndim]
+    ss, ds = _tup(stride, ndim), _tup(dilation, ndim)
+    ps = _tup(padding, ndim)
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    halo_h = dh * (kh - 1) // 2 if ax_h is not None else 0
-    halo_w = dw * (kw - 1) // 2 if ax_w is not None else 0
-    if ax_h is not None:
-        assert ph == halo_h, "requires odd-kh 'same' padding (see docstring)"
-    if ax_w is not None:
-        assert pw == halo_w, "requires odd-kw 'same' padding (see docstring)"
+    halos = tuple(d * (k - 1) // 2 if a is not None else 0
+                  for a, k, d in zip(axes, ks, ds))
+    for a, p, h in zip(axes, ps, halos):
+        if a is not None:
+            assert p == h, "requires odd-k 'same' padding (see docstring)"
 
     def local(x_loc, w_loc):
-        # x_loc: (B, H/n_h, W/n_w, C).  H exchange first, then W over the
-        # H-extended block — the second hop carries the corner halos.
+        # x_loc: (B, *S_local, C).  Exchanges run dim-by-dim on the
+        # already-extended block, so later hops carry the corner halos.
         xh = x_loc
-        if ax_h is not None:
-            xh = _exchange(xh, ax_h, sizes[ax_h], halo_h, 1)
-        if ax_w is not None:
-            xh = _exchange(xh, ax_w, sizes[ax_w], halo_w, 2)
+        for i, (a, h) in enumerate(zip(axes, halos)):
+            if a is not None:
+                xh = _exchange(xh, a, sizes[a], h, i + 1)
         # sharded dims already carry their halos ('valid' locally);
         # unsharded dims keep symmetric padding.  With loc % s == 0 every
         # shard starts on the global stride grid, so the local conv
-        # reproduces the global output rows/cols.
-        pad = (0 if ax_h is not None else ph,
-               0 if ax_w is not None else pw)
-        return conv_nd(xh, w_loc, ndim=2, stride=(sh, sw),
-                       padding=pad, dilation=(dh, dw), groups=groups)
+        # reproduces the global output slices.
+        pad = tuple(0 if a is not None else p for a, p in zip(axes, ps))
+        return conv_nd(xh, w_loc, ndim=ndim, stride=ss, padding=pad,
+                       dilation=ds, groups=groups)
 
-    return jax.shard_map(
-        local, mesh=mesh,
-        in_specs=(P(None, ax_h, ax_w, None), P()),
-        out_specs=P(None, ax_h, ax_w, None),
-    )(x, w)
+    spec = P(None, *axes, None)
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec, P()),
+                         out_specs=spec)(x, w)
+
+
+def halo_conv2d(mesh: Mesh, axis, x, w, *, stride=1, padding=1,
+                dilation=1, groups: int = 1):
+    """2-D convenience wrapper over halo_conv_nd (the round-2 surface)."""
+    return halo_conv_nd(mesh, axis, x, w, ndim=2, stride=stride,
+                        padding=padding, dilation=dilation, groups=groups)
+
+
+def halo_eligible(mesh, axis, x, w, *, ndim, stride, dilation,
+                  padding) -> bool:
+    """Whether dispatch_conv would take the halo path for this call."""
+    if mesh is None:
+        return False
+    axes = _axes_tup(axis, ndim)
+    if not any(a is not None and w.shape[i] >= 3
+               for i, a in enumerate(axes)):
+        # k=1 on every sharded dim needs no halo (GSPMD handles pointwise
+        # convs on sharded spatial planes)
+        return False
+    return halo_supported(mesh, axis, tuple(x.shape[1:1 + ndim]),
+                          tuple(w.shape[:ndim]), stride, dilation, padding,
+                          ndim=ndim)
+
+
+def dispatch_conv(mesh, axis, x, w, *, ndim, stride=1, padding=0,
+                  dilation=1, groups: int = 1):
+    """Halo-exchange conv when the sharding is eligible; the plain XLA
+    conv otherwise (GSPMD still handles any residual sharding).  The
+    layer-zoo integration point — KanConvND and WavKANConvND route every
+    spatial conv through this when `spatial_mesh` is set."""
+    if halo_eligible(mesh, axis, x, w, ndim=ndim, stride=stride,
+                     dilation=dilation, padding=padding):
+        return halo_conv_nd(mesh, axis, x, w, ndim=ndim, stride=stride,
+                            padding=padding, dilation=dilation,
+                            groups=groups)
+    return conv_nd(x, w, ndim=ndim, stride=stride, padding=padding,
+                   dilation=dilation, groups=groups)

@@ -155,6 +155,78 @@ def test_spatial_shard_2d_kan_conv():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_halo_conv_1d_and_3d():
+    """Round-3: halo exchange generalizes to 1-D and 3-D convs
+    (halo_conv_nd) — parity with the unsharded conv_nd."""
+    from convkan_tpu.parallel.halo import halo_conv_nd
+
+    mesh = make_mesh(data=4, model=2)
+
+    # 1-D: L sharded over 'data'
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 6), jnp.float32)
+    w1 = jax.random.normal(jax.random.PRNGKey(1), (5, 6, 4), jnp.float32)
+    xs1 = jax.device_put(x1, NamedSharding(mesh, P(None, "data", None)))
+    np.testing.assert_allclose(
+        np.asarray(halo_conv_nd(mesh, "data", xs1, w1, ndim=1, padding=2)),
+        np.asarray(conv_nd(x1, w1, ndim=1, stride=1, padding=2)),
+        atol=1e-5, rtol=1e-5)
+
+    # 3-D: D over 'data', W over 'model' (H unsharded)
+    x3 = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 4, 8, 3),
+                           jnp.float32)
+    w3 = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 3, 3, 4),
+                           jnp.float32)
+    xs3 = jax.device_put(
+        x3, NamedSharding(mesh, P(None, "data", None, "model", None)))
+    np.testing.assert_allclose(
+        np.asarray(halo_conv_nd(mesh, ("data", None, "model"), xs3, w3,
+                                ndim=3, padding=1)),
+        np.asarray(conv_nd(x3, w3, ndim=3, stride=1, padding=1)),
+        atol=1e-5, rtol=1e-5)
+
+
+def test_spatial_shard_kan_conv3d():
+    """KanConvND 3-D with depth sharded over 'data' equals the unsharded
+    layer (the halo path is no longer 2-D-only)."""
+    mesh = make_mesh(data=8)
+    kw = dict(family="cheby", input_dim=4, output_dim=6, kernel_size=3,
+              ndim=3, padding=1, degree=3)
+    plain = KanConvND(**kw)
+    sharded = KanConvND(spatial_mesh=mesh, spatial_axis=("data", None, None),
+                        **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 6, 6, 4),
+                          jnp.float32)
+    v = plain.init(jax.random.PRNGKey(1), x, train=False)
+    y_ref = plain.apply(v, x, train=False)
+    xs = jax.device_put(
+        x, NamedSharding(mesh, P(None, "data", None, None, None)))
+    y_sh = jax.jit(lambda v, x: sharded.apply(v, x, train=False))(v, xs)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_spatial_shard_wavkan_conv():
+    """WavKANConvND (the 18th factory family) under 2-D spatial
+    decomposition equals the unsharded layer — spatial sharding now
+    covers the whole layer zoo."""
+    from convkan_tpu.nn.wav_conv import WavKANConvND
+
+    mesh = make_mesh(data=4, model=2)
+    kw = dict(input_dim=4, output_dim=6, kernel_size=3, ndim=2, padding=1,
+              wavelet_type="mexican_hat")
+    plain = WavKANConvND(**kw)
+    sharded = WavKANConvND(spatial_mesh=mesh,
+                           spatial_axis=("data", "model"), **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 8, 4), jnp.float32)
+    v = plain.init(jax.random.PRNGKey(1), x, train=False)
+    y_ref = plain.apply(v, x, train=False)
+    xs = jax.device_put(
+        x, NamedSharding(mesh, P(None, "data", "model", None)))
+    y_sh = jax.jit(lambda v, x: sharded.apply(v, x, train=False))(v, xs)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_spatial_shard_stride2_now_halo_eligible():
     """Stride-2 'same' convs run through the halo path (widened scope)
     and still match; truly ineligible configs (non-'same' padding) fall
