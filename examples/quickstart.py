@@ -9,6 +9,7 @@ migration, and StableHLO export for serving.
 
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -44,7 +45,9 @@ def train_demo():
                    classifier_type="Linear", width_scale=0.5)
     state, history = train_model_generic(
         model, train_ds, test_ds, "CIFAR10", len(classes), batch_size=64,
-        epochs=2, path="./results_demo", model_name="demo")
+        epochs=2, path=os.environ.get("QUICKSTART_DIR")
+        or tempfile.mkdtemp(prefix="convkan_quickstart_"),
+        model_name="demo")
     print("history:", {k: [round(float(x), 3) for x in v]
                        for k, v in history.items() if k == "train_loss"})
     return model, state
