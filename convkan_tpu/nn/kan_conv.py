@@ -156,6 +156,29 @@ def set_perf_defaults(**kwargs):
     return prev
 
 
+_SPATIAL_DEFAULTS = {"mesh": None, "axis": "data"}
+
+
+def set_spatial_defaults(mesh=None, axis="data"):
+    """Process-wide default spatial sharding for KanConvND / WavKANConvND
+    layers whose own `spatial_mesh` is None.  The conv factories keep the
+    reference signatures (which have no spatial argument), so this is how
+    a whole factory-built model runs halo-sharded without per-layer
+    plumbing:
+
+        prev = set_spatial_defaults(mesh, "data")   # or an axis tuple
+        y = jax.jit(model.apply)(v, x_H_sharded)    # traces halo convs
+        set_spatial_defaults(*prev)
+
+    Per-layer `spatial_mesh=` still wins (and brings its own
+    `spatial_axis`).  Returns the previous (mesh, axis) pair.
+    """
+    prev = (_SPATIAL_DEFAULTS["mesh"], _SPATIAL_DEFAULTS["axis"])
+    _SPATIAL_DEFAULTS["mesh"] = mesh
+    _SPATIAL_DEFAULTS["axis"] = axis
+    return prev
+
+
 def _kprod(kernel_size, ndim):
     if isinstance(kernel_size, (tuple, list)):
         p = 1
@@ -265,6 +288,18 @@ class KanConvND(nn.Module):
     def _basis_build_mode(self) -> str:
         return (_PERF_DEFAULTS["basis_build"] if self.basis_build is None
                 else self.basis_build)
+
+    # spatial sharding resolves layer ctor args first, then the process
+    # default (set_spatial_defaults); mesh and axis travel together
+    @property
+    def _spatial_mesh(self):
+        return (self.spatial_mesh if self.spatial_mesh is not None
+                else _SPATIAL_DEFAULTS["mesh"])
+
+    @property
+    def _spatial_axis(self):
+        return (self.spatial_axis if self.spatial_mesh is not None
+                else _SPATIAL_DEFAULTS["axis"])
 
     @property
     def in_g(self) -> int:
@@ -804,11 +839,12 @@ class KanConvND(nn.Module):
         """Plain conv, or halo-exchange conv with spatial planes sharded
         over `spatial_axis` when spatially sharded and eligible (1/2/3-D;
         stride / groups / dilation supported — parallel/halo.py)."""
-        if self.spatial_mesh is not None:
+        mesh = self._spatial_mesh
+        if mesh is not None:
             from ..parallel.halo import dispatch_conv
 
-            return dispatch_conv(self.spatial_mesh, self.spatial_axis,
-                                 x, w, **conv_kwargs)
+            return dispatch_conv(mesh, self._spatial_axis, x, w,
+                                 **conv_kwargs)
         return conv_nd(x, w, **conv_kwargs)
 
     def _post_combine(self, y, act, train):
@@ -946,7 +982,7 @@ class KanConvND(nn.Module):
             # island_bf16 would silently compare different numerics in
             # any pallas-vs-XLA A/B — the island takes priority
             return None
-        if self.spatial_mesh is not None:
+        if self._spatial_mesh is not None:
             # spatially sharded inputs go through the halo-exchange conv
             # (parallel/halo.py); a pallas_call on a sharded global array
             # would force a gather

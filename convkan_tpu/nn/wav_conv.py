@@ -29,7 +29,7 @@ from ..basis.wavelet import WAVELET_TYPES, wavelet
 from ..ops.conv import conv_nd
 from ..utils import initializers as init_lib
 from ..utils.norms import BatchNorm, make_norm
-from .kan_conv import _PERF_DEFAULTS
+from .kan_conv import _PERF_DEFAULTS, _SPATIAL_DEFAULTS
 
 
 class WavKANConvND(nn.Module):
@@ -83,14 +83,27 @@ class WavKANConvND(nn.Module):
         return (_PERF_DEFAULTS["island_bf16"] if self.island_bf16 is None
                 else self.island_bf16)
 
+    # layer ctor args first, then the process default
+    # (kan_conv.set_spatial_defaults); mesh and axis travel together
+    @property
+    def _spatial_mesh(self):
+        return (self.spatial_mesh if self.spatial_mesh is not None
+                else _SPATIAL_DEFAULTS["mesh"])
+
+    @property
+    def _spatial_axis(self):
+        return (self.spatial_axis if self.spatial_mesh is not None
+                else _SPATIAL_DEFAULTS["axis"])
+
     def _conv(self, x, w, **kw):
         """Plain conv, or halo-exchange conv when spatially sharded and
         eligible — same dispatch as KanConvND (parallel/halo.py)."""
-        if self.spatial_mesh is not None:
+        mesh = self._spatial_mesh
+        if mesh is not None:
             from ..parallel.halo import dispatch_conv
 
-            return dispatch_conv(self.spatial_mesh, self.spatial_axis,
-                                 x, w, ndim=self.ndim, **kw)
+            return dispatch_conv(mesh, self._spatial_axis, x, w,
+                                 ndim=self.ndim, **kw)
         return conv_nd(x, w, ndim=self.ndim, **kw)
 
     @property
@@ -116,7 +129,7 @@ class WavKANConvND(nn.Module):
             # under island_bf16 would make flag combinations measure
             # different numerics — the island takes priority (XLA path)
             return None
-        if self.spatial_mesh is not None:
+        if self._spatial_mesh is not None:
             # spatially sharded inputs go through the halo-exchange conv
             # (parallel/halo.py), not a pallas_call on a global array
             return None

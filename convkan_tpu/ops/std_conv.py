@@ -44,9 +44,22 @@ class Conv(nn.Module):
             init_lib.kaiming_uniform("leaky_relu", a=math.sqrt(5.0),
                                      layout="conv_hwio"),
             kshape + (in_g, self.out_planes), self.param_dtype)
-        y = conv_nd(x, w, ndim=self.ndim, stride=self.stride,
-                    padding=self.padding, dilation=self.dilation,
-                    groups=self.groups)
+        # honor the process-wide spatial sharding default
+        # (nn.kan_conv.set_spatial_defaults), so mixed KAN/std models
+        # (MobileNets, EfficientNets) halo-shard their std convs too
+        from ..nn.kan_conv import _SPATIAL_DEFAULTS
+
+        if _SPATIAL_DEFAULTS["mesh"] is not None:
+            from ..parallel.halo import dispatch_conv
+
+            y = dispatch_conv(
+                _SPATIAL_DEFAULTS["mesh"], _SPATIAL_DEFAULTS["axis"], x, w,
+                ndim=self.ndim, stride=self.stride, padding=self.padding,
+                dilation=self.dilation, groups=self.groups)
+        else:
+            y = conv_nd(x, w, ndim=self.ndim, stride=self.stride,
+                        padding=self.padding, dilation=self.dilation,
+                        groups=self.groups)
         if self.use_bias:
             fan_in = in_g
             for k in kshape:

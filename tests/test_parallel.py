@@ -227,6 +227,65 @@ def test_spatial_shard_wavkan_conv():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_spatial_defaults_whole_model():
+    """set_spatial_defaults: a factory-built KAN-VGG forward with the H
+    plane sharded over 'data' equals the unsharded forward — the conv
+    factories keep the reference signatures (no spatial arg), so the
+    process default is how a whole model runs halo-sharded.  Layers whose
+    plane becomes too small for a halo fall back to GSPMD silently."""
+    from convkan_tpu.models import vggkan
+    from convkan_tpu.nn.kan_conv import set_spatial_defaults
+
+    mesh = make_mesh(data=4, model=2)
+    model = vggkan(3, 10, arch="VGG16_kansmall", kan_conv="KAN",
+                   classifier_type="Linear", width_scale=0.25)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(1), x, train=False)
+    y_ref = model.apply(v, x, train=False)
+
+    prev = set_spatial_defaults(mesh, "data")
+    try:
+        xs = jax.device_put(
+            x, NamedSharding(mesh, P(None, "data", None, None)))
+        y_sh = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, xs)
+    finally:
+        set_spatial_defaults(*prev)
+    np.testing.assert_allclose(np.asarray(y_sh), np.asarray(y_ref),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_spatial_defaults_std_and_wav_layers():
+    """The process default also reaches StdConvBlock (mixed KAN/std
+    models) and WavKANConvND; per-layer spatial_mesh still wins."""
+    from convkan_tpu.nn.kan_conv import set_spatial_defaults
+    from convkan_tpu.nn.wav_conv import WavKANConvND
+    from convkan_tpu.ops.std_conv import StdConvBlock
+
+    mesh = make_mesh(data=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 8, 4), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P(None, "data", None, None)))
+
+    std = StdConvBlock(in_planes=4, out_planes=6, kernel_size=3, ndim=2,
+                       padding=1, base_activation="relu")
+    vs = std.init(jax.random.PRNGKey(1), x, train=False)
+    wav = WavKANConvND(input_dim=4, output_dim=6, kernel_size=3, ndim=2,
+                       padding=1, wavelet_type="dog")
+    vw = wav.init(jax.random.PRNGKey(2), x, train=False)
+    y_std_ref = std.apply(vs, x, train=False)
+    y_wav_ref = wav.apply(vw, x, train=False)
+
+    prev = set_spatial_defaults(mesh, "data")
+    try:
+        y_std = jax.jit(lambda v, x: std.apply(v, x, train=False))(vs, xs)
+        y_wav = jax.jit(lambda v, x: wav.apply(v, x, train=False))(vw, xs)
+    finally:
+        set_spatial_defaults(*prev)
+    np.testing.assert_allclose(np.asarray(y_std), np.asarray(y_std_ref),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_wav), np.asarray(y_wav_ref),
+                               atol=2e-5, rtol=2e-5)
+
+
 def test_spatial_shard_stride2_now_halo_eligible():
     """Stride-2 'same' convs run through the halo path (widened scope)
     and still match; truly ineligible configs (non-'same' padding) fall
