@@ -101,6 +101,27 @@ def spatial_sharding():
     print(f"3. spatial halo (4x2 H x W):     max |sharded - full| = {err:.2e}")
 
 
+def spatial_whole_model(model):
+    """Whole-model spatial sharding: the factories keep the reference
+    signatures (no spatial argument), so a process default shards every
+    conv in an already-built model — KAN, WavKAN and std blocks alike."""
+    from convkan_tpu.nn.kan_conv import set_spatial_defaults
+
+    mesh = make_mesh(data=4, model=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 3), jnp.float32)
+    v = model.init(jax.random.PRNGKey(1), x, train=False)
+    y_ref = model.apply(v, x, train=False)
+    prev = set_spatial_defaults(mesh, "data")
+    try:
+        xs = jax.device_put(
+            x, NamedSharding(mesh, P(None, "data", None, None)))
+        y = jax.jit(lambda v, x: model.apply(v, x, train=False))(v, xs)
+    finally:
+        set_spatial_defaults(*prev)
+    err = float(jnp.max(jnp.abs(y - y_ref)))
+    print(f"4. whole-model spatial default:  max |sharded - full| = {err:.2e}")
+
+
 def multislice():
     """Emulated 2-slice pod: gradients all-reduce over 'dcn' (DCN on real
     pods) and 'data' (ICI within a slice)."""
@@ -108,7 +129,7 @@ def multislice():
     x = jnp.arange(8.0)
     xs = jax.device_put(x, NamedSharding(mesh, P(("dcn", "data"))))
     total = jax.jit(jnp.sum)(xs)
-    print(f"4. multislice mesh {mesh.devices.shape} ('dcn','data','model'): "
+    print(f"5. multislice mesh {mesh.devices.shape} ('dcn','data','model'): "
           f"psum check {float(total):.0f} == 28")
 
 
@@ -116,5 +137,6 @@ if __name__ == "__main__":
     model, _ = data_parallel()
     tensor_parallel(model)
     spatial_sharding()
+    spatial_whole_model(model)
     multislice()
     print("done.")
