@@ -50,6 +50,9 @@ from ..basis.bspline import make_bspline_grid
 from ..basis.relukan import default_phases
 from ..basis.rbf import make_rbf_grid, rbf_basis, rbf_cols
 from ..ops.conv import conv_nd
+from ..parallel.halo import (  # noqa: F401  (set_spatial_defaults re-export)
+    maybe_sharded_conv, resolve_spatial, set_spatial_defaults,
+)
 from ..utils import activations as act_lib
 from ..utils import initializers as init_lib
 from ..utils.norms import InstanceNorm, make_norm
@@ -156,29 +159,6 @@ def set_perf_defaults(**kwargs):
     return prev
 
 
-_SPATIAL_DEFAULTS = {"mesh": None, "axis": "data"}
-
-
-def set_spatial_defaults(mesh=None, axis="data"):
-    """Process-wide default spatial sharding for KanConvND / WavKANConvND
-    layers whose own `spatial_mesh` is None.  The conv factories keep the
-    reference signatures (which have no spatial argument), so this is how
-    a whole factory-built model runs halo-sharded without per-layer
-    plumbing:
-
-        prev = set_spatial_defaults(mesh, "data")   # or an axis tuple
-        y = jax.jit(model.apply)(v, x_H_sharded)    # traces halo convs
-        set_spatial_defaults(*prev)
-
-    Per-layer `spatial_mesh=` still wins (and brings its own
-    `spatial_axis`).  Returns the previous (mesh, axis) pair.
-    """
-    prev = (_SPATIAL_DEFAULTS["mesh"], _SPATIAL_DEFAULTS["axis"])
-    _SPATIAL_DEFAULTS["mesh"] = mesh
-    _SPATIAL_DEFAULTS["axis"] = axis
-    return prev
-
-
 def _kprod(kernel_size, ndim):
     if isinstance(kernel_size, (tuple, list)):
         p = 1
@@ -264,9 +244,11 @@ class KanConvND(nn.Module):
     # kernels (incl. rectangular), stride dividing the local shard
     # extent, groups (incl. depthwise), dilation; unsupported configs fall
     # back to the plain conv (halo_supported).  The basis expansion is
-    # pointwise, so XLA SPMD keeps it local to each shard.
+    # pointwise, so XLA SPMD keeps it local to each shard.  None = the
+    # process default (parallel.halo.set_spatial_defaults; axis default
+    # 'data'); each ctor arg wins over its default independently.
     spatial_mesh: Any = None
-    spatial_axis: Any = "data"
+    spatial_axis: Any = None
     param_dtype: Any = jnp.float32
 
     @property
@@ -289,17 +271,9 @@ class KanConvND(nn.Module):
         return (_PERF_DEFAULTS["basis_build"] if self.basis_build is None
                 else self.basis_build)
 
-    # spatial sharding resolves layer ctor args first, then the process
-    # default (set_spatial_defaults); mesh and axis travel together
     @property
     def _spatial_mesh(self):
-        return (self.spatial_mesh if self.spatial_mesh is not None
-                else _SPATIAL_DEFAULTS["mesh"])
-
-    @property
-    def _spatial_axis(self):
-        return (self.spatial_axis if self.spatial_mesh is not None
-                else _SPATIAL_DEFAULTS["axis"])
+        return resolve_spatial(self.spatial_mesh, self.spatial_axis)[0]
 
     @property
     def in_g(self) -> int:
@@ -838,14 +812,10 @@ class KanConvND(nn.Module):
     def _conv(self, x, w, conv_kwargs):
         """Plain conv, or halo-exchange conv with spatial planes sharded
         over `spatial_axis` when spatially sharded and eligible (1/2/3-D;
-        stride / groups / dilation supported — parallel/halo.py)."""
-        mesh = self._spatial_mesh
-        if mesh is not None:
-            from ..parallel.halo import dispatch_conv
-
-            return dispatch_conv(mesh, self._spatial_axis, x, w,
-                                 **conv_kwargs)
-        return conv_nd(x, w, **conv_kwargs)
+        stride / groups / dilation supported — parallel/halo.py).  Ctor
+        args and the process defaults resolve in maybe_sharded_conv."""
+        return maybe_sharded_conv(self.spatial_mesh, self.spatial_axis,
+                                  x, w, **conv_kwargs)
 
     def _post_combine(self, y, act, train):
         spec = self.spec

@@ -29,7 +29,8 @@ from ..basis.wavelet import WAVELET_TYPES, wavelet
 from ..ops.conv import conv_nd
 from ..utils import initializers as init_lib
 from ..utils.norms import BatchNorm, make_norm
-from .kan_conv import _PERF_DEFAULTS, _SPATIAL_DEFAULTS
+from ..parallel.halo import maybe_sharded_conv, resolve_spatial
+from .kan_conv import _PERF_DEFAULTS
 
 
 class WavKANConvND(nn.Module):
@@ -74,37 +75,25 @@ class WavKANConvND(nn.Module):
     # one mesh-axis name (first spatial dim) or an ndim-tuple of
     # names/None; ineligible configs fall back to the plain conv.  The
     # psi expansion is pointwise, so XLA SPMD keeps it local to each
-    # shard; the 1x1 mix needs no halo.
+    # shard; the 1x1 mix needs no halo.  None = the process default
+    # (parallel.halo.set_spatial_defaults).
     spatial_mesh: Any = None
-    spatial_axis: Any = "data"
+    spatial_axis: Any = None
 
     @property
     def _island_bf16_on(self) -> bool:
         return (_PERF_DEFAULTS["island_bf16"] if self.island_bf16 is None
                 else self.island_bf16)
 
-    # layer ctor args first, then the process default
-    # (kan_conv.set_spatial_defaults); mesh and axis travel together
     @property
     def _spatial_mesh(self):
-        return (self.spatial_mesh if self.spatial_mesh is not None
-                else _SPATIAL_DEFAULTS["mesh"])
-
-    @property
-    def _spatial_axis(self):
-        return (self.spatial_axis if self.spatial_mesh is not None
-                else _SPATIAL_DEFAULTS["axis"])
+        return resolve_spatial(self.spatial_mesh, self.spatial_axis)[0]
 
     def _conv(self, x, w, **kw):
         """Plain conv, or halo-exchange conv when spatially sharded and
         eligible — same dispatch as KanConvND (parallel/halo.py)."""
-        mesh = self._spatial_mesh
-        if mesh is not None:
-            from ..parallel.halo import dispatch_conv
-
-            return dispatch_conv(mesh, self._spatial_axis, x, w,
-                                 ndim=self.ndim, **kw)
-        return conv_nd(x, w, ndim=self.ndim, **kw)
+        return maybe_sharded_conv(self.spatial_mesh, self.spatial_axis,
+                                  x, w, ndim=self.ndim, **kw)
 
     @property
     def in_g(self):

@@ -45,21 +45,14 @@ class Conv(nn.Module):
                                      layout="conv_hwio"),
             kshape + (in_g, self.out_planes), self.param_dtype)
         # honor the process-wide spatial sharding default
-        # (nn.kan_conv.set_spatial_defaults), so mixed KAN/std models
+        # (parallel.halo.set_spatial_defaults), so mixed KAN/std models
         # (MobileNets, EfficientNets) halo-shard their std convs too
-        from ..nn.kan_conv import _SPATIAL_DEFAULTS
+        from ..parallel.halo import maybe_sharded_conv
 
-        if _SPATIAL_DEFAULTS["mesh"] is not None:
-            from ..parallel.halo import dispatch_conv
-
-            y = dispatch_conv(
-                _SPATIAL_DEFAULTS["mesh"], _SPATIAL_DEFAULTS["axis"], x, w,
-                ndim=self.ndim, stride=self.stride, padding=self.padding,
-                dilation=self.dilation, groups=self.groups)
-        else:
-            y = conv_nd(x, w, ndim=self.ndim, stride=self.stride,
-                        padding=self.padding, dilation=self.dilation,
-                        groups=self.groups)
+        y = maybe_sharded_conv(
+            None, None, x, w, ndim=self.ndim, stride=self.stride,
+            padding=self.padding, dilation=self.dilation,
+            groups=self.groups)
         if self.use_bias:
             fan_in = in_g
             for k in kshape:

@@ -153,6 +153,12 @@ def halo_eligible(mesh, axis, x, w, *, ndim, stride, dilation,
     """Whether dispatch_conv would take the halo path for this call."""
     if mesh is None:
         return False
+    if (not isinstance(axis, str) and axis is not None
+            and len(tuple(axis)) != ndim):
+        # an axis tuple written for a different rank (e.g. a process-wide
+        # 2-D default while a 1-D/3-D layer runs): eligibility predicate —
+        # fall back to the plain conv instead of raising mid-forward
+        return False
     axes = _axes_tup(axis, ndim)
     if not any(a is not None and w.shape[i] >= 3
                for i, a in enumerate(axes)):
@@ -167,9 +173,7 @@ def halo_eligible(mesh, axis, x, w, *, ndim, stride, dilation,
 def dispatch_conv(mesh, axis, x, w, *, ndim, stride=1, padding=0,
                   dilation=1, groups: int = 1):
     """Halo-exchange conv when the sharding is eligible; the plain XLA
-    conv otherwise (GSPMD still handles any residual sharding).  The
-    layer-zoo integration point — KanConvND and WavKANConvND route every
-    spatial conv through this when `spatial_mesh` is set."""
+    conv otherwise (GSPMD still handles any residual sharding)."""
     if halo_eligible(mesh, axis, x, w, ndim=ndim, stride=stride,
                      dilation=dilation, padding=padding):
         return halo_conv_nd(mesh, axis, x, w, ndim=ndim, stride=stride,
@@ -177,3 +181,48 @@ def dispatch_conv(mesh, axis, x, w, *, ndim, stride=1, padding=0,
                             groups=groups)
     return conv_nd(x, w, ndim=ndim, stride=stride, padding=padding,
                    dilation=dilation, groups=groups)
+
+
+_SPATIAL_DEFAULTS = {"mesh": None, "axis": "data"}
+
+
+def set_spatial_defaults(mesh=None, axis="data"):
+    """Process-wide default spatial sharding for layers whose own
+    `spatial_mesh` is None.  The conv factories keep the reference
+    signatures (which have no spatial argument), so this is how a whole
+    factory-built model runs halo-sharded without per-layer plumbing:
+
+        prev = set_spatial_defaults(mesh, "data")   # or an axis tuple
+        y = jax.jit(model.apply)(v, x_H_sharded)    # traces halo convs
+        set_spatial_defaults(*prev)
+
+    Per-layer ctor args win over the defaults (see resolve_spatial).
+    Returns the previous (mesh, axis) pair.  Also importable as
+    nn.kan_conv.set_spatial_defaults.
+    """
+    prev = (_SPATIAL_DEFAULTS["mesh"], _SPATIAL_DEFAULTS["axis"])
+    _SPATIAL_DEFAULTS["mesh"] = mesh
+    _SPATIAL_DEFAULTS["axis"] = axis
+    return prev
+
+
+def resolve_spatial(layer_mesh, layer_axis):
+    """The (mesh, axis) a layer should shard with: each ctor arg wins
+    over its process default independently (a layer may pin just the
+    axis and still pick up the default mesh)."""
+    mesh = layer_mesh if layer_mesh is not None else _SPATIAL_DEFAULTS["mesh"]
+    axis = layer_axis if layer_axis is not None else _SPATIAL_DEFAULTS["axis"]
+    return mesh, axis
+
+
+def maybe_sharded_conv(layer_mesh, layer_axis, x, w, *, ndim, stride=1,
+                       padding=0, dilation=1, groups: int = 1):
+    """The layer-zoo integration point (KanConvND / WavKANConvND /
+    StdConvBlock): resolve the layer's spatial sharding against the
+    process defaults, then dispatch — plain conv when no mesh applies."""
+    mesh, axis = resolve_spatial(layer_mesh, layer_axis)
+    if mesh is None:
+        return conv_nd(x, w, ndim=ndim, stride=stride, padding=padding,
+                       dilation=dilation, groups=groups)
+    return dispatch_conv(mesh, axis, x, w, ndim=ndim, stride=stride,
+                         padding=padding, dilation=dilation, groups=groups)

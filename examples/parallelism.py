@@ -40,7 +40,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from convkan_tpu.models import vggkan
 from convkan_tpu.nn.kan_conv import KanConvND
-from convkan_tpu.parallel.mesh import make_mesh, make_multislice_mesh, shard_batch
+from convkan_tpu.parallel.mesh import make_mesh, make_multislice_mesh
 from convkan_tpu.parallel.sharding import state_shardings
 from convkan_tpu.train.loop import make_eval_step, make_train_step
 from convkan_tpu.train.state import create_train_state
@@ -78,7 +78,7 @@ def tensor_parallel(model):
     state, loss = step(state, jax.random.PRNGKey(1), xb, yb)
     ev = make_eval_step(model, "CIFAR10", 10, mesh=mesh,
                         state_shardings=st_sh)
-    ls, cm = ev(state, xb, yb, np.ones((16,), np.float32))
+    ls, _cm = ev(state, xb, yb, np.ones((16,), np.float32))
     print(f"2. tensor parallel (2x4):        loss {float(loss):.4f}, "
           f"eval loss {float(ls) / 16:.4f}")
 

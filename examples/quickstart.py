@@ -38,16 +38,18 @@ def layers_demo():
 
 
 def train_demo():
-    """Two epochs of KAN-VGG on synthetic CIFAR-shaped data."""
+    """Two epochs of KAN-VGG on synthetic CIFAR-shaped data.  Checkpoints
+    go to QUICKSTART_DIR if set, else a temp dir cleaned up on exit."""
     train_ds, test_ds, classes = get_datasets("CIFAR10", synthetic=True,
                                               synthetic_size=256)
     model = vggkan(3, len(classes), arch="VGG16_kansmall", kan_conv="KAN",
                    classifier_type="Linear", width_scale=0.5)
-    state, history = train_model_generic(
-        model, train_ds, test_ds, "CIFAR10", len(classes), batch_size=64,
-        epochs=2, path=os.environ.get("QUICKSTART_DIR")
-        or tempfile.mkdtemp(prefix="convkan_quickstart_"),
-        model_name="demo")
+    with tempfile.TemporaryDirectory(prefix="convkan_quickstart_") as tmp:
+        state, history = train_model_generic(
+            model, train_ds, test_ds, "CIFAR10", len(classes),
+            batch_size=64, epochs=2,
+            path=os.environ.get("QUICKSTART_DIR") or tmp,
+            model_name="demo")
     print("history:", {k: [round(float(x), 3) for x in v]
                        for k, v in history.items() if k == "train_loss"})
     return model, state

@@ -286,6 +286,45 @@ def test_spatial_defaults_std_and_wav_layers():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_spatial_defaults_edge_cases():
+    """(a) a 2-D axis tuple set as the process default must make a 1-D
+    layer fall back to the plain conv, not crash mid-forward; (b) a layer
+    that pins only spatial_axis picks up the default mesh with ITS axis
+    (each ctor arg wins over its default independently)."""
+    from convkan_tpu.nn.kan_conv import set_spatial_defaults
+    from convkan_tpu.parallel.halo import resolve_spatial
+
+    mesh = make_mesh(data=4, model=2)
+    kw1 = dict(family="cheby", input_dim=4, output_dim=6, kernel_size=3,
+               ndim=1, padding=1, degree=3)
+    m1 = KanConvND(**kw1)
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 4), jnp.float32)
+    v1 = m1.init(jax.random.PRNGKey(1), x1, train=False)
+    y1_ref = m1.apply(v1, x1, train=False)
+
+    # (b) setup: H=6 is NOT divisible by data=4 (H-sharding ineligible),
+    # W=16 shards over model=2 — only the layer-pinned axis can engage
+    kw2 = dict(family="cheby", input_dim=4, output_dim=6, kernel_size=3,
+               ndim=2, padding=1, degree=3)
+    m2 = KanConvND(spatial_axis=(None, "model"), **kw2)
+    x2 = jax.random.normal(jax.random.PRNGKey(2), (2, 6, 16, 4), jnp.float32)
+    v2 = KanConvND(**kw2).init(jax.random.PRNGKey(3), x2, train=False)
+    y2_ref = KanConvND(**kw2).apply(v2, x2, train=False)
+
+    prev = set_spatial_defaults(mesh, ("data", "model"))
+    try:
+        y1 = m1.apply(v1, x1, train=False)  # rank mismatch -> fallback
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y1_ref),
+                                   rtol=1e-6, atol=1e-6)
+        mesh_r, axis_r = resolve_spatial(None, (None, "model"))
+        assert mesh_r is mesh and axis_r == (None, "model")
+        y2 = jax.jit(lambda v, x: m2.apply(v, x, train=False))(v2, x2)
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(y2_ref),
+                                   rtol=2e-5, atol=2e-5)
+    finally:
+        set_spatial_defaults(*prev)
+
+
 def test_spatial_shard_stride2_now_halo_eligible():
     """Stride-2 'same' convs run through the halo path (widened scope)
     and still match; truly ineligible configs (non-'same' padding) fall
