@@ -136,7 +136,20 @@ def halo_conv_nd(mesh: Mesh, axis, x, w, *, ndim: int, stride=1, padding=1,
         return conv_nd(xh, w_loc, ndim=ndim, stride=ss, padding=pad,
                        dilation=ds, groups=groups)
 
-    spec = P(None, *axes, None)
+    # keep the batch dim sharded over the mesh's data axes (when they are
+    # not already spent on spatial planes, and the batch divides) so halo
+    # convs compose with data parallelism instead of gathering the batch
+    # onto every shard
+    from .mesh import batch_axes
+
+    used = {a for a in axes if a is not None}
+    b_axes = tuple(a for a in batch_axes(mesh) if a not in used)
+    b_size = 1
+    for a in b_axes:
+        b_size *= sizes[a]
+    if b_size == 1 or x.shape[0] % b_size:
+        b_axes = ()
+    spec = P(b_axes if b_axes else None, *axes, None)
     return jax.shard_map(local, mesh=mesh, in_specs=(spec, P()),
                          out_specs=spec)(x, w)
 

@@ -15,18 +15,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(data: Optional[int] = None, model: int = 1,
+def make_mesh(data: Optional[int] = None, model: int = 1, spatial: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ('data', 'model') mesh.  Defaults to all devices on the data
-    axis — the primary axis for this CNN-classifier workload."""
+    """Build a ('data', 'model'[, 'spatial']) mesh.  Defaults to all
+    devices on the data axis — the primary axis for this CNN-classifier
+    workload.  spatial > 1 appends a 'spatial' axis for halo-sharded
+    image planes (parallel/halo.py): `data_sharding` then also shards the
+    H dim of image batches over it, and `set_spatial_defaults(mesh,
+    'spatial')` makes every conv in a factory-built model halo-exchange."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        assert n % model == 0
-        data = n // model
-    assert data * model == n, f"{data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+        assert n % (model * spatial) == 0
+        data = n // (model * spatial)
+    assert data * model * spatial == n, (
+        f"{data}x{model}x{spatial} != {n} devices")
+    if spatial == 1:
+        arr = np.asarray(devices).reshape(data, model)
+        return Mesh(arr, ("data", "model"))
+    arr = np.asarray(devices).reshape(data, model, spatial)
+    return Mesh(arr, ("data", "model", "spatial"))
 
 
 def make_multislice_mesh(data_per_slice: Optional[int] = None,
@@ -80,9 +88,13 @@ def batch_axes(mesh: Mesh):
 
 
 def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axes; replicate rest."""
-    spec = P(batch_axes(mesh), *([None] * (ndim - 1)))
-    return NamedSharding(mesh, spec)
+    """Shard the leading (batch) axis over the data axes; image batches
+    (ndim >= 3) additionally shard H over a 'spatial' axis when the mesh
+    has one; replicate the rest."""
+    spec = [batch_axes(mesh)] + [None] * (ndim - 1)
+    if ndim >= 3 and "spatial" in mesh.axis_names:
+        spec[1] = "spatial"
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:

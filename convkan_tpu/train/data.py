@@ -398,6 +398,9 @@ def put_batch(arrays, sharding=None):
     * sharding=None: plain async `jax.device_put` (single device).
     * NamedSharding + one process: `device_put` with the sharding — the
       jitted step then consumes it with zero re-layout.
+    * a callable: resolved per array (`sharding(a)`) — how batches with
+      mixed ranks shard differently (images also H-shard on meshes with a
+      'spatial' axis; labels shard on batch only).
     * NamedSharding + multi-process (multi-host DP, SURVEY §2.5): each
       process provides only its local shard of the global batch via
       `jax.make_array_from_process_local_data`; `arrays` must already be
@@ -405,10 +408,11 @@ def put_batch(arrays, sharding=None):
     """
     if sharding is None:
         return tuple(jax.device_put(a) for a in arrays)
+    get = sharding if callable(sharding) else (lambda a: sharding)
     if jax.process_count() == 1:
-        return tuple(jax.device_put(a, sharding) for a in arrays)
+        return tuple(jax.device_put(a, get(a)) for a in arrays)
     return tuple(
-        jax.make_array_from_process_local_data(sharding, a) for a in arrays)
+        jax.make_array_from_process_local_data(get(a), a) for a in arrays)
 
 
 def local_batch_slice(n: int):

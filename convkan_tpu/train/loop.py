@@ -41,13 +41,20 @@ logger = logging.getLogger(__name__)
 
 
 def _shardings(mesh):
+    """(replicated sharding, batch-sharding-by-rank fn) for a mesh.
+    The fn shards the batch dim over the data axes and — on meshes with a
+    'spatial' axis — the H dim of image batches (parallel/mesh.py)."""
     if mesh is None:
         return None, None
-    from ..parallel.mesh import batch_axes
+    from ..parallel.mesh import data_sharding
 
     repl = NamedSharding(mesh, P())
-    batch = NamedSharding(mesh, P(batch_axes(mesh)))
-    return repl, batch
+    return repl, lambda ndim: data_sharding(mesh, ndim)
+
+
+def _batch_put_sharding(batch_fn):
+    """Per-array sharding resolver for put_batch/prefetch_batches."""
+    return None if batch_fn is None else (lambda a: batch_fn(a.ndim))
 
 
 def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
@@ -130,7 +137,7 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
     st_sh = state_shardings if state_shardings is not None else repl
     return jax.jit(
         step, donate_argnums=0,
-        in_shardings=(st_sh, repl, batch, batch),
+        in_shardings=(st_sh, repl, batch(4), batch(1)),
         out_shardings=(st_sh, repl),
     )
 
@@ -158,7 +165,7 @@ def make_eval_step(model, dataset: str, num_classes: int, mesh=None,
     # tensor-parallel eval: keep params sharded over 'model' (pass the same
     # state_shardings tree as make_train_step) instead of re-replicating
     st_sh = state_shardings if state_shardings is not None else repl
-    return jax.jit(step, in_shardings=(st_sh, batch, batch, batch),
+    return jax.jit(step, in_shardings=(st_sh, batch(4), batch(1), batch(1)),
                    out_shardings=(repl, repl))
 
 
@@ -320,7 +327,7 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
             "this automatically) so batches are globally sharded and "
             "gradients sync")
 
-    _, batch_sharding = _shardings(mesh)
+    batch_sharding = _batch_put_sharding(_shardings(mesh)[1])
 
     # fixed batch for the per-epoch inference timing (reference times only
     # the forward on already-loaded data — evaluations.py:107-129)

@@ -66,6 +66,28 @@ def test_cli_main_end_to_end_report_artifacts(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_main_mesh_spatial(tmp_path):
+    """--mesh_spatial 2: end-to-end spatially-sharded training through
+    the CLI — data_sharding H-shards the input batches and
+    set_spatial_defaults halo-shards every conv; composes with
+    --mesh_data."""
+    from convkan_tpu.parallel import halo
+
+    prev = (halo._SPATIAL_DEFAULTS["mesh"], halo._SPATIAL_DEFAULTS["axis"])
+    try:
+        cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+                  "--dataset", "CIFAR10", "--synthetic_data",
+                  "--synthetic_size", "128", "--epoch", "1",
+                  "--batch_size", "64", "--mesh_data", "2",
+                  "--mesh_spatial", "2",
+                  "--results_dir", str(tmp_path)])
+    finally:
+        halo.set_spatial_defaults(*prev)
+    import os
+    assert os.path.isdir(tmp_path / "CIFAR10" / "models")
+
+
+@pytest.mark.slow
 def test_cli_bf16_island_trains(tmp_path):
     """--bf16_island: the mixed-precision island knob reaches every layer
     built by the CLI (process default) and a short run still learns on

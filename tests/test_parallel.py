@@ -325,6 +325,46 @@ def test_spatial_defaults_edge_cases():
         set_spatial_defaults(*prev)
 
 
+def test_spatial_mesh_train_step():
+    """End-to-end spatially-sharded TRAINING: a ('data','model','spatial')
+    mesh H-shards the input batches (data_sharding) and every conv
+    (set_spatial_defaults), composing with data parallelism — the 2-step
+    loss trajectory equals the unsharded single-device run."""
+    from convkan_tpu.models import vggkan
+    from convkan_tpu.parallel.halo import set_spatial_defaults
+    from convkan_tpu.train.loop import make_train_step
+    from convkan_tpu.train.state import create_train_state
+
+    model = vggkan(3, 10, arch="VGG16_kansmall", kan_conv="KAN",
+                   classifier_type="Linear", width_scale=0.25)
+    x0 = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    xb = np.random.RandomState(0).randint(0, 256, (8, 32, 32, 3), np.uint8)
+    yb = np.random.RandomState(1).randint(0, 10, (8,), np.int32)
+
+    state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                               steps_per_epoch=4)
+    step = make_train_step(model, "CIFAR10", augment=True)
+    losses_ref = []
+    for _ in range(2):
+        state, l = step(state, jax.random.PRNGKey(7), xb, yb)
+        losses_ref.append(float(l))
+
+    mesh = make_mesh(data=2, model=1, spatial=4)
+    assert mesh.axis_names == ("data", "model", "spatial")
+    prev = set_spatial_defaults(mesh, "spatial")
+    try:
+        state2 = create_train_state(model, jax.random.PRNGKey(0), x0,
+                                    steps_per_epoch=4)
+        step2 = make_train_step(model, "CIFAR10", augment=True, mesh=mesh)
+        losses = []
+        for _ in range(2):
+            state2, l = step2(state2, jax.random.PRNGKey(7), xb, yb)
+            losses.append(float(l))
+    finally:
+        set_spatial_defaults(*prev)
+    np.testing.assert_allclose(losses, losses_ref, rtol=2e-4, atol=2e-4)
+
+
 def test_spatial_shard_stride2_now_halo_eligible():
     """Stride-2 'same' convs run through the halo path (widened scope)
     and still match; truly ineligible configs (non-'same' padding) fall

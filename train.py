@@ -4,7 +4,9 @@ Orbax checkpoints, optional data-parallel mesh).
 
 Extra flags beyond the reference (documented): --resume (true mid-training
 resume), --synthetic_data (zero-egress smoke runs), --mesh_data (data-
-parallel device count; default all devices), --grad_accum (microbatched
+parallel device count; default all devices), --mesh_spatial (shard the
+image H plane over N devices with halo-exchange convs — inputs too large
+for one chip; composes with --mesh_data), --grad_accum (microbatched
 gradient accumulation inside the jitted step — batch sizes beyond HBM).
 """
 
@@ -87,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="synthetic train-set size (with --synthetic_data)")
     p.add_argument("--mesh_data", type=int, default=None,
                    help="data-parallel devices (default: all)")
+    p.add_argument("--mesh_spatial", type=int, default=1,
+                   help="shard the image H plane over this many devices "
+                        "(halo-exchange convs, parallel/halo.py) — for "
+                        "inputs too large for one chip; composes with "
+                        "--mesh_data (data x spatial devices total)")
     p.add_argument("--patience", type=float, default=float("inf"),
                    help="early-stopping patience in epochs (reference "
                         "default: inf, evaluations.py:156)")
@@ -294,16 +301,26 @@ def main(argv=None):
 
     n_dev = len(jax.devices())
     mesh = None
-    if (args.mesh_data or n_dev) > 1:
-        mesh = make_mesh(data=args.mesh_data or n_dev)
-        logger.info("data-parallel mesh: %s", mesh)
+    spatial = max(args.mesh_spatial, 1)
+    if spatial > 1 or (args.mesh_data or n_dev) > 1:
+        data = args.mesh_data or n_dev // spatial
+        mesh = make_mesh(data=data, spatial=spatial,
+                         devices=jax.devices()[:data * spatial])
+        logger.info("mesh: %s", mesh)
+        if spatial > 1:
+            # every conv built by the factories halo-shards its H plane
+            # over 'spatial'; data_sharding H-shards the input batches
+            from convkan_tpu.parallel.halo import set_spatial_defaults
+
+            set_spatial_defaults(mesh, "spatial")
 
     if args.eval_only:
         import jax.numpy as jnp
 
         from convkan_tpu.train import checkpoint as ckpt_lib
-        from convkan_tpu.train.loop import (_shardings, evaluate,
-                                            make_eval_step, make_infer_timer,
+        from convkan_tpu.train.loop import (_batch_put_sharding, _shardings,
+                                            evaluate, make_eval_step,
+                                            make_infer_timer,
                                             make_timer_batch)
         from convkan_tpu.train.state import create_train_state
 
@@ -323,7 +340,7 @@ def main(argv=None):
         imagenet = getattr(test_ds, "imagenet", False)
         eval_step = make_eval_step(model, args.dataset, num_classes,
                                    mesh=mesh, imagenet=imagenet)
-        _, batch_sharding = _shardings(mesh)
+        batch_sharding = _batch_put_sharding(_shardings(mesh)[1])
         loss, acc, prec, rec, f1 = evaluate(
             eval_step, state, test_ds, args.batch_size, num_classes,
             batch_sharding=batch_sharding)
