@@ -28,6 +28,8 @@ def make_mesh(data: Optional[int] = None, model: int = 1, spatial: int = 1,
     if data is None:
         assert n % (model * spatial) == 0
         data = n // (model * spatial)
+    assert data >= 1 and model >= 1 and spatial >= 1, (
+        f"empty mesh: {data}x{model}x{spatial}")
     assert data * model * spatial == n, (
         f"{data}x{model}x{spatial} != {n} devices")
     if spatial == 1:

@@ -43,18 +43,29 @@ logger = logging.getLogger(__name__)
 def _shardings(mesh):
     """(replicated sharding, batch-sharding-by-rank fn) for a mesh.
     The fn shards the batch dim over the data axes and — on meshes with a
-    'spatial' axis — the H dim of image batches (parallel/mesh.py)."""
+    'spatial' axis — the H dim of image batches (parallel/mesh.py).
+    Cached per rank: the resolver runs per array per batch in the
+    prefetch hot path."""
     if mesh is None:
         return None, None
     from ..parallel.mesh import data_sharding
 
     repl = NamedSharding(mesh, P())
-    return repl, lambda ndim: data_sharding(mesh, ndim)
+    cache = {}
+
+    def batch(ndim):
+        if ndim not in cache:
+            cache[ndim] = data_sharding(mesh, ndim)
+        return cache[ndim]
+
+    return repl, batch
 
 
-def _batch_put_sharding(batch_fn):
-    """Per-array sharding resolver for put_batch/prefetch_batches."""
-    return None if batch_fn is None else (lambda a: batch_fn(a.ndim))
+def batch_put_sharding(mesh):
+    """Per-array sharding resolver for put_batch/prefetch_batches on this
+    mesh (None for single-device runs)."""
+    _, batch = _shardings(mesh)
+    return None if batch is None else (lambda a: batch(a.ndim))
 
 
 def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
@@ -327,7 +338,7 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
             "this automatically) so batches are globally sharded and "
             "gradients sync")
 
-    batch_sharding = _batch_put_sharding(_shardings(mesh)[1])
+    batch_sharding = batch_put_sharding(mesh)
 
     # fixed batch for the per-epoch inference timing (reference times only
     # the forward on already-loaded data — evaluations.py:107-129)

@@ -65,6 +65,19 @@ def test_cli_main_end_to_end_report_artifacts(tmp_path):
     assert os.path.isdir(tmp_path / "MNIST" / "models")
 
 
+def test_cli_mesh_spatial_validation():
+    """--mesh_spatial misconfigurations die with a clear SystemExit at
+    setup, not a raw JAX shape error mid-run: H not divisible by the
+    spatial axis; more mesh devices than exist."""
+    base = ["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+            "--dataset", "MNIST", "--synthetic_data",
+            "--synthetic_size", "64", "--epoch", "1", "--batch_size", "32"]
+    with pytest.raises(SystemExit, match="divide the image height"):
+        cli.main(base + ["--mesh_spatial", "8"])  # 28 % 8 != 0
+    with pytest.raises(SystemExit, match="devices"):
+        cli.main(base + ["--mesh_spatial", "16"])  # > device count
+
+
 @pytest.mark.slow
 def test_cli_main_mesh_spatial(tmp_path):
     """--mesh_spatial 2: end-to-end spatially-sharded training through

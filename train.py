@@ -301,26 +301,65 @@ def main(argv=None):
 
     n_dev = len(jax.devices())
     mesh = None
+    prev_spatial = None
     spatial = max(args.mesh_spatial, 1)
     if spatial > 1 or (args.mesh_data or n_dev) > 1:
         data = args.mesh_data or n_dev // spatial
+        if data < 1 or data * spatial > n_dev:
+            raise SystemExit(
+                f"--mesh_data {args.mesh_data} x --mesh_spatial {spatial} "
+                f"needs {max(data, 1) * spatial} devices; have {n_dev}")
+        if data * spatial < n_dev:
+            logger.warning(
+                "mesh uses %d of %d devices (%d idle) — pick --mesh_data/"
+                "--mesh_spatial that multiply to the device count to use "
+                "all of them", data * spatial, n_dev,
+                n_dev - data * spatial)
+        if spatial > 1 and input_shape[0] % spatial:
+            raise SystemExit(
+                f"--mesh_spatial {spatial} must divide the image height "
+                f"{input_shape[0]} ({args.dataset}) — the input batches "
+                "are H-sharded over the 'spatial' axis")
         mesh = make_mesh(data=data, spatial=spatial,
                          devices=jax.devices()[:data * spatial])
         logger.info("mesh: %s", mesh)
         if spatial > 1:
             # every conv built by the factories halo-shards its H plane
-            # over 'spatial'; data_sharding H-shards the input batches
+            # over 'spatial'; data_sharding H-shards the input batches.
+            # Restored in the finally below so in-process callers (tests,
+            # notebooks) don't leak a stale mesh into later builds.
             from convkan_tpu.parallel.halo import set_spatial_defaults
 
-            set_spatial_defaults(mesh, "spatial")
+            prev_spatial = set_spatial_defaults(mesh, "spatial")
+    try:
+        return _main_with_mesh(args, model, model_name, mesh, input_shape,
+                               num_classes, train_ds, test_ds,
+                               model_save_path, results_path, classes)
+    finally:
+        if prev_spatial is not None:
+            from convkan_tpu.parallel.halo import set_spatial_defaults
+
+            set_spatial_defaults(*prev_spatial)
+
+
+def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
+                    train_ds, test_ds, model_save_path, results_path,
+                    classes):
+    """The post-mesh half of main(): eval_only or the full train + report
+    path.  Split out so main() can restore the process-wide spatial
+    defaults in a finally regardless of how this returns."""
+    import jax
+
+    from convkan_tpu.train.loop import train_model_generic, write_results_csv
+
+    logger = logging.getLogger("train")
 
     if args.eval_only:
         import jax.numpy as jnp
 
         from convkan_tpu.train import checkpoint as ckpt_lib
-        from convkan_tpu.train.loop import (_batch_put_sharding, _shardings,
-                                            evaluate, make_eval_step,
-                                            make_infer_timer,
+        from convkan_tpu.train.loop import (batch_put_sharding, evaluate,
+                                            make_eval_step, make_infer_timer,
                                             make_timer_batch)
         from convkan_tpu.train.state import create_train_state
 
@@ -340,7 +379,7 @@ def main(argv=None):
         imagenet = getattr(test_ds, "imagenet", False)
         eval_step = make_eval_step(model, args.dataset, num_classes,
                                    mesh=mesh, imagenet=imagenet)
-        batch_sharding = _batch_put_sharding(_shardings(mesh)[1])
+        batch_sharding = batch_put_sharding(mesh)
         loss, acc, prec, rec, f1 = evaluate(
             eval_step, state, test_ds, args.batch_size, num_classes,
             batch_sharding=batch_sharding)
