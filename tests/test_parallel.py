@@ -485,6 +485,56 @@ def test_state_shardings_data_only_mesh():
                if isinstance(s, NamedSharding))
 
 
+def test_halo_randomized_sweep():
+    """Seeded randomized halo configs (rank, axis subsets, stride,
+    dilation, groups, rectangular kernels) against the unsharded conv —
+    via dispatch_conv, so ineligible draws exercise the fallback too."""
+    from convkan_tpu.parallel.halo import dispatch_conv, halo_eligible
+
+    mesh = make_mesh(data=4, model=2)
+    rs = np.random.RandomState(42)
+    halo_hits = 0
+    for trial in range(12):
+        ndim = int(rs.choice([1, 2, 3]))
+        names = [rs.choice(["data", "model", None]) for _ in range(ndim)]
+        if all(n is None for n in names):
+            names[0] = "data"
+        # an axis may appear once only
+        seen = set()
+        axes = []
+        for n in names:
+            axes.append(None if (n in seen or n is None) else n)
+            seen.add(n)
+        axes = tuple(axes)
+        ks = tuple(int(rs.choice([1, 3, 5])) for _ in range(ndim))
+        dil = tuple(int(rs.choice([1, 2])) for _ in range(ndim))
+        st = tuple(int(rs.choice([1, 2])) for _ in range(ndim))
+        pad = tuple(d * (k - 1) // 2 for k, d in zip(ks, dil))
+        groups = int(rs.choice([1, 2]))
+        cin, cout = 4 * groups, 2 * groups
+        sizes = {"data": 4, "model": 2}
+        ext = tuple(
+            (sizes.get(a, 1) * st[i] * max(pad[i], 1)) * int(rs.choice([1, 2]))
+            for i, a in enumerate(axes))
+        x = rs.randn(2, *ext, cin).astype(np.float32)
+        w = rs.randn(*ks, cin // groups, cout).astype(np.float32)
+        y_ref = conv_nd(jnp.asarray(x), jnp.asarray(w), ndim=ndim,
+                        stride=st, padding=pad, dilation=dil, groups=groups)
+        spec = P(None, *axes, None)
+        xs = jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+        if halo_eligible(mesh, axes, x, w, ndim=ndim, stride=st,
+                         dilation=dil, padding=pad):
+            halo_hits += 1
+        y = dispatch_conv(mesh, axes, xs, jnp.asarray(w), ndim=ndim,
+                          stride=st, padding=pad, dilation=dil,
+                          groups=groups)
+        np.testing.assert_allclose(
+            np.asarray(y), np.asarray(y_ref), atol=2e-4, rtol=2e-4,
+            err_msg=f"trial {trial}: axes={axes} k={ks} s={st} d={dil} "
+                    f"g={groups} ext={ext}")
+    assert halo_hits >= 4, f"sweep degenerate: only {halo_hits} halo paths"
+
+
 def test_halo_supported_unknown_axis_returns_false():
     """halo_supported is an eligibility predicate — an axis name not in
     the mesh must mean 'not eligible', not a KeyError mid-forward."""
