@@ -1,11 +1,22 @@
 """Orbax checkpointing with the reference's `{name}_best` / `{name}_last`
 naming contract (evaluations.py:225,244), plus what the reference lacks:
 optimizer state and full mid-training resume (SURVEY.md §5).
+
+Durability contract: `{name}_{kind}` is a symlink that always resolves to
+a fully-committed checkpoint.  Each save writes a fresh versioned
+directory (`{name}_{kind}.v<N>` — Orbax itself commits atomically via a
+tmp-dir rename) and then swaps the symlink in one atomic os.rename; the
+displaced version is deleted only afterwards.  A crash or preemption at
+ANY point during a save therefore leaves the previous checkpoint
+restorable — the pre-round-3 scheme (`force=True` onto the live path)
+deleted the old checkpoint for the whole serialize+write window, which is
+exactly when an OOM-kill or preemption strikes.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 from typing import Any, Optional
 
 import flax.serialization as fser
@@ -19,6 +30,8 @@ def _path(root: str, name: str, kind: str) -> str:
 
 
 _ASYNC_CKPTRS: dict = {}  # target path -> AsyncCheckpointer
+_VERSIONS: dict = {}      # target path -> last version number used
+_PENDING: dict = {}       # target path -> committed-version dir to swap in
 
 
 def _async_checkpointer(path: str):
@@ -32,12 +45,52 @@ def _async_checkpointer(path: str):
     return _ASYNC_CKPTRS[path]
 
 
+def _next_version_dir(path: str) -> str:
+    n = _VERSIONS.get(path, 0) + 1
+    while os.path.exists(f"{path}.v{n}"):  # resumed process: skip leftovers
+        n += 1
+    _VERSIONS[path] = n
+    return f"{path}.v{n}"
+
+
+def _swap_into_place(path: str, new_dir: str):
+    """Atomically repoint `path` (a symlink) at the committed `new_dir`,
+    then delete the displaced version.  Pre-round-3 checkpoints where
+    `path` is a real directory are moved aside first (the one non-atomic
+    legacy-upgrade window is two renames with no data writes between)."""
+    old_target = None
+    if os.path.islink(path):
+        old_target = os.path.join(os.path.dirname(path), os.readlink(path))
+    link_tmp = new_dir + ".link"
+    if os.path.lexists(link_tmp):
+        os.unlink(link_tmp)
+    os.symlink(os.path.basename(new_dir), link_tmp)
+    if os.path.isdir(path) and not os.path.islink(path):
+        legacy = path + ".legacy"
+        shutil.rmtree(legacy, ignore_errors=True)
+        os.rename(path, legacy)
+        os.rename(link_tmp, path)
+        shutil.rmtree(legacy, ignore_errors=True)
+    else:
+        os.rename(link_tmp, path)  # atomically replaces an existing symlink
+    if old_target and os.path.abspath(old_target) != os.path.abspath(new_dir):
+        shutil.rmtree(old_target, ignore_errors=True)
+
+
+def _commit_pending(path: str):
+    dst = _PENDING.pop(path, None)
+    if dst is not None:
+        _swap_into_place(path, dst)
+
+
 def wait_for_async_saves():
-    """Block until every pending async save has committed to disk.  Call
-    before restoring a checkpoint that may still be in flight and at the
-    end of training."""
+    """Block until every pending async save has committed to disk and its
+    symlink swap is in place.  Call before restoring a checkpoint that may
+    still be in flight and at the end of training."""
     for ckptr in _ASYNC_CKPTRS.values():
         ckptr.wait_until_finished()
+    for path in list(_PENDING):
+        _commit_pending(path)
 
 
 def save_checkpoint(root: str, name: str, kind: str, state,
@@ -48,9 +101,11 @@ def save_checkpoint(root: str, name: str, kind: str, state,
 
     async_save=True hands the (host-copied) payload to an Orbax
     AsyncCheckpointer: the device stays busy with the next epoch while
-    the write runs in the background.  The payload is device_get'd
-    either way, so the saved values are a consistent snapshot regardless
-    of later state updates.  Pair with wait_for_async_saves()."""
+    the write runs in the background; the symlink swap happens on the
+    next drain (wait_for_async_saves / the next save to this path), so
+    the live name never points at an in-flight write.  The payload is
+    device_get'd either way, so the saved values are a consistent
+    snapshot regardless of later state updates."""
     os.makedirs(root, exist_ok=True)
     path = _path(root, name, kind)
     payload = {
@@ -63,15 +118,19 @@ def save_checkpoint(root: str, name: str, kind: str, state,
     }
     if extra:
         payload["extra"] = extra
+    dst = _next_version_dir(path)
     if async_save:
         ckptr = _async_checkpointer(path)
-        # drain only THIS path's previous write (same directory cannot
-        # have two in-flight saves); other paths stay overlapped
+        # drain only THIS path's previous write (same name cannot have two
+        # in-flight saves); other paths stay overlapped
         ckptr.wait_until_finished()
-        ckptr.save(path, payload, force=True)
+        _commit_pending(path)
+        ckptr.save(dst, payload)
+        _PENDING[path] = dst
         return path
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(path, payload, force=True)
+    ckptr.save(dst, payload)
+    _swap_into_place(path, dst)
     return path
 
 
@@ -81,7 +140,7 @@ def restore_checkpoint(root: str, name: str, kind: str, state=None):
     path = _path(root, name, kind)
     wait_for_async_saves()  # the target may still be in flight
     ckptr = ocp.PyTreeCheckpointer()
-    payload = ckptr.restore(path)
+    payload = ckptr.restore(os.path.realpath(path))
     if state is None:
         return payload
     opt_state = fser.from_state_dict(state.opt_state, payload["opt_state"])

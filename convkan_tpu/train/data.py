@@ -18,9 +18,8 @@ import gzip
 import math
 import os
 import pickle
-import tarfile
 from dataclasses import dataclass
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import jax
 import jax.image
@@ -69,7 +68,12 @@ def _read_idx(path: str) -> np.ndarray:
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
         data = f.read()
-    magic = int.from_bytes(data[2:3], "big")
+    if data[0] != 0 or data[1] != 0 or data[2] != 0x08:
+        # IDX header: two zero bytes, dtype byte (0x08 = uint8), ndim —
+        # reject corrupt/mislabeled files instead of parsing garbage
+        raise ValueError(
+            f"{path} is not a uint8 IDX file (header "
+            f"{data[:4].hex()}) — see README 'Getting the data'")
     ndim = data[3]
     dims = [int.from_bytes(data[4 + 4 * i: 8 + 4 * i], "big")
             for i in range(ndim)]
@@ -452,16 +456,32 @@ def prefetch_batches(it, size: int = 2, sharding=None, host_thread=True):
     if host_thread:
         q: _q.Queue = _q.Queue(maxsize=max(size, 1))
         _END = object()
+        abandoned = threading.Event()
+
+        def _put(item) -> bool:
+            # A consumer that abandons this generator mid-epoch (train
+            # step raised, KeyboardInterrupt, early break) stops draining
+            # the queue; a plain q.put would then block this thread
+            # forever, pinning the queued host batches.  Poll the
+            # abandoned flag so the feeder exits instead.
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except _q.Full:
+                    continue
+            return False
 
         def _feed():
             # An iterator error must fail the run, not silently truncate
             # the epoch: forward the exception to the consumer thread.
             try:
                 for b in it:
-                    q.put(b)
-                q.put(_END)
+                    if not _put(b):
+                        return
+                _put(_END)
             except BaseException as e:  # noqa: BLE001 - re-raised in consumer
-                q.put(e)
+                _put(e)
 
         threading.Thread(target=_feed, daemon=True).start()
 
@@ -475,13 +495,19 @@ def prefetch_batches(it, size: int = 2, sharding=None, host_thread=True):
                 yield b
         src = host_iter()
     else:
+        abandoned = None
         src = it
 
     from collections import deque
-    buf: deque = deque()
-    for b in src:
-        buf.append(put_batch(b, sharding))
-        if len(buf) >= size:
+    try:
+        buf: deque = deque()
+        for b in src:
+            buf.append(put_batch(b, sharding))
+            if len(buf) >= size:
+                yield buf.popleft()
+        while buf:
             yield buf.popleft()
-    while buf:
-        yield buf.popleft()
+    finally:
+        # runs on normal exhaustion AND on generator close/abandonment
+        if abandoned is not None:
+            abandoned.set()

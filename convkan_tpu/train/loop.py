@@ -33,7 +33,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from . import checkpoint as ckpt_lib
 from .data import (ArrayDataset, epoch_batches, local_batch_slice,
                    normalize_batch, prefetch_batches, put_batch, train_batch)
-from .metrics import (accuracy_from_cm, cross_entropy_loss, macro_prf1)
+from .metrics import (accuracy_from_cm, confusion_matrix,
+                      cross_entropy_loss, macro_prf1)
 from .state import TrainState, create_train_state, l1_penalty
 from ..utils.regularization import sown_losses_total
 
@@ -165,10 +166,8 @@ def make_eval_step(model, dataset: str, num_classes: int, mesh=None,
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
         loss_sum = jnp.sum(nll * weights)
         preds = jnp.argmax(logits, axis=-1)
-        idx = labels * num_classes + preds
-        cm = jnp.bincount(idx, weights=weights,
-                          length=num_classes * num_classes)
-        return loss_sum, cm.reshape(num_classes, num_classes)
+        cm = confusion_matrix(preds, labels, num_classes, weights=weights)
+        return loss_sum, cm
 
     repl, batch = _shardings(mesh)
     if mesh is None:

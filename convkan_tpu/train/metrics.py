@@ -11,10 +11,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def confusion_matrix(preds, targets, num_classes: int):
-    """(N,) int preds/targets -> (C, C) counts [true, pred]."""
+def confusion_matrix(preds, targets, num_classes: int, weights=None):
+    """(N,) int preds/targets -> (C, C) counts [true, pred].  `weights`
+    (e.g. the padded-eval-batch mask, train/loop.py) weight each sample's
+    contribution."""
     idx = targets * num_classes + preds
-    cm = jnp.bincount(idx, length=num_classes * num_classes)
+    cm = jnp.bincount(idx, weights=weights, length=num_classes * num_classes)
     return cm.reshape(num_classes, num_classes)
 
 

@@ -38,6 +38,70 @@ def test_async_save_then_restore_drains(tmp_path):
         state.params, restored.params)
 
 
+def test_resave_never_removes_live_checkpoint(tmp_path):
+    """Durability: re-saving {name}_last must never leave a window where
+    the name is missing or unrestorable — a preemption mid-save used to
+    destroy the only resume point (the old force=True overwrite deleted
+    the live directory for the whole serialize+write window)."""
+    import os
+    import threading
+
+    state = _tiny_state()
+    root = str(tmp_path)
+    ckpt_lib.save_checkpoint(root, "m", "last", state, extra={"epoch": 0})
+    path = os.path.join(root, "m_last")
+    assert os.path.exists(path)
+
+    missing = []
+    stop = threading.Event()
+
+    def poll():
+        while not stop.is_set():
+            if not os.path.exists(path):
+                missing.append(1)
+
+    t = threading.Thread(target=poll)
+    t.start()
+    try:
+        for epoch in range(1, 6):
+            ckpt_lib.save_checkpoint(root, "m", "last", state,
+                                     extra={"epoch": epoch})
+    finally:
+        stop.set()
+        t.join()
+    assert not missing, "live checkpoint name vanished during a re-save"
+    payload = ckpt_lib.restore_checkpoint(root, "m", "last")
+    assert payload["extra"]["epoch"] == 5
+    # displaced versions are cleaned up: exactly one version dir remains
+    vdirs = [d for d in os.listdir(root) if d.startswith("m_last.v")]
+    assert len(vdirs) == 1, vdirs
+
+
+def test_legacy_realdir_checkpoint_upgrades(tmp_path):
+    """Pre-round-3 checkpoints where {name}_last is a real directory (not
+    a symlink) still restore, and the next save upgrades them in place."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    state = _tiny_state()
+    root = str(tmp_path)
+    # simulate the legacy layout: orbax dir directly at the live name
+    legacy = os.path.join(root, "m_last")
+    ocp.PyTreeCheckpointer().save(
+        legacy, {"step": np.asarray(state.step),
+                 "params": jax.device_get(state.params),
+                 "opt_state": {}, "batch_stats": {},
+                 "extra": {"epoch": 7}})
+    assert os.path.isdir(legacy) and not os.path.islink(legacy)
+    payload = ckpt_lib.restore_checkpoint(root, "m", "last")
+    assert payload["extra"]["epoch"] == 7
+    ckpt_lib.save_checkpoint(root, "m", "last", state, extra={"epoch": 8})
+    assert os.path.islink(legacy)
+    payload = ckpt_lib.restore_checkpoint(root, "m", "last")
+    assert payload["extra"]["epoch"] == 8
+
+
 def test_async_overwrite_same_path_sequences(tmp_path):
     """Two async saves to the same directory (the per-epoch _last
     pattern): the second must win and the payload must be consistent."""

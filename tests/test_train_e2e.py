@@ -35,6 +35,30 @@ def test_fastkan_mlp_mnist_synthetic(tmp_path):
     assert 0.1 < a / b < 10.0
 
 
+def test_prefetch_abandoned_feeder_exits():
+    """Abandoning the prefetch generator mid-epoch (train step raised,
+    early break) must release the feeder thread — it used to block on
+    q.put forever, pinning the queued host batches."""
+    import threading
+    import time
+
+    from convkan_tpu.train.data import prefetch_batches
+
+    before = threading.active_count()
+
+    def batches():
+        for _ in range(1000):
+            yield (np.zeros((4, 8), np.float32),)
+
+    g = prefetch_batches(batches(), size=2)
+    next(g)
+    g.close()  # consumer abandons mid-epoch
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before, "feeder thread leaked"
+
+
 def test_prefetch_exact():
     """prefetch_batches preserves order and values exactly: the prefetched
     train loop yields the same loss trajectory as direct step calls
