@@ -15,6 +15,7 @@ exactly when an OOM-kill or preemption strikes.
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 from typing import Any, Optional
@@ -77,6 +78,27 @@ def _swap_into_place(path: str, new_dir: str):
         shutil.rmtree(old_target, ignore_errors=True)
 
 
+def _gc_stale_versions(path: str, keep=()):
+    """Delete leftover version dirs (and swap-link temps) of `path` that a
+    crashed run never swapped in: everything matching `{path}.v*` except
+    the live symlink target and `keep`.  Called once this path's async
+    writes are drained, so nothing matched can be in flight (each name has
+    a single writer — the training process that owns the run directory)."""
+    live = None
+    if os.path.islink(path):
+        live = os.path.abspath(
+            os.path.join(os.path.dirname(path), os.readlink(path)))
+    keep = {os.path.abspath(k) for k in keep}
+    for p in glob.glob(glob.escape(path) + ".v*"):
+        ap = os.path.abspath(p)
+        if ap == live or ap in keep:
+            continue
+        if os.path.islink(p) or not os.path.isdir(p):
+            os.unlink(p)
+        else:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def _commit_pending(path: str):
     dst = _PENDING.pop(path, None)
     if dst is not None:
@@ -125,10 +147,12 @@ def save_checkpoint(root: str, name: str, kind: str, state,
         # in-flight saves); other paths stay overlapped
         ckptr.wait_until_finished()
         _commit_pending(path)
+        _gc_stale_versions(path, keep=(dst,))
         ckptr.save(dst, payload)
         _PENDING[path] = dst
         return path
     ckptr = ocp.PyTreeCheckpointer()
+    _gc_stale_versions(path, keep=(dst,))
     ckptr.save(dst, payload)
     _swap_into_place(path, dst)
     return path

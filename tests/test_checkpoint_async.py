@@ -131,3 +131,29 @@ def test_async_snapshot_is_consistent(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         before, payload["params"])
+
+
+def test_stale_crash_leftovers_are_garbage_collected(tmp_path):
+    """A run killed mid-save leaves unswapped {name}.vN dirs (and possibly
+    a .link temp); the next run's first save must clean them up instead of
+    accumulating one orphan per crash — while never touching the live
+    checkpoint."""
+    import os
+
+    state = _tiny_state()
+    root = str(tmp_path)
+    ckpt_lib.save_checkpoint(root, "m", "last", state, extra={"epoch": 1})
+    path = os.path.join(root, "m_last")
+    # simulate crash leftovers: a committed-but-unswapped version, a
+    # partially-written orbax temp, and an orphaned swap link
+    os.makedirs(os.path.join(root, "m_last.v90", "inner"))
+    os.makedirs(os.path.join(root, "m_last.v91.orbax-checkpoint-tmp-7"))
+    os.symlink("m_last.v90", os.path.join(root, "m_last.v90.link"))
+    ckpt_lib.save_checkpoint(root, "m", "last", state, extra={"epoch": 2})
+    leftovers = sorted(d for d in os.listdir(root)
+                       if d.startswith("m_last.v9"))
+    assert leftovers == [], leftovers
+    payload = ckpt_lib.restore_checkpoint(root, "m", "last")
+    assert payload["extra"]["epoch"] == 2
+    vdirs = [d for d in os.listdir(root) if d.startswith("m_last.v")]
+    assert len(vdirs) == 1, vdirs
