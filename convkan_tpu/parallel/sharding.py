@@ -70,4 +70,8 @@ def state_shardings(state, mesh: Mesh, min_dim: int = 2):
         opt_state=jax.tree_util.tree_map(
             lambda x: NamedSharding(mesh, opt_spec(x)), state.opt_state),
         batch_stats=jax.tree_util.tree_map(lambda _: repl, state.batch_stats),
+        # the EMA tree mirrors params, so it shards with the same rules
+        ema_params=(to_sharding(p_specs)
+                    if getattr(state, "ema_params", None) is not None
+                    else None),
     )

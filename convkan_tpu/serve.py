@@ -421,7 +421,9 @@ def build_engine(args, train_mod=None):
 
         root = os.path.join(args.results_dir, args.dataset, "models")
         payload = restore_checkpoint(root, name, args.kind)
-        variables = {"params": payload["params"]}
+        # EMA-trained checkpoints serve their EMA weights (what the
+        # epoch-loop evaluation/selection used — train/loop.py ema_decay)
+        variables = {"params": payload.get("ema_params") or payload["params"]}
         if payload.get("batch_stats"):
             variables["batch_stats"] = payload["batch_stats"]
     if args.fold_bn:

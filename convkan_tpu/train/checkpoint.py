@@ -138,6 +138,8 @@ def save_checkpoint(root: str, name: str, kind: str, state,
         "opt_state": fser.to_state_dict(jax.device_get(state.opt_state)),
         "batch_stats": jax.device_get(state.batch_stats),
     }
+    if getattr(state, "ema_params", None) is not None:
+        payload["ema_params"] = jax.device_get(state.ema_params)
     if extra:
         payload["extra"] = extra
     dst = _next_version_dir(path)
@@ -173,6 +175,7 @@ def restore_checkpoint(root: str, name: str, kind: str, state=None):
         params=payload["params"],
         opt_state=opt_state,
         batch_stats=payload["batch_stats"],
+        ema_params=payload.get("ema_params", state.ema_params),
     ), payload.get("extra", {})
 
 

@@ -35,7 +35,8 @@ from .data import (ArrayDataset, epoch_batches, local_batch_slice,
                    normalize_batch, prefetch_batches, put_batch, train_batch)
 from .metrics import (accuracy_from_cm, confusion_matrix,
                       cross_entropy_loss, macro_prf1)
-from .state import TrainState, create_train_state, l1_penalty
+from .state import (TrainState, create_train_state, l1_penalty,
+                    make_lr_schedule)
 from ..utils.regularization import sown_losses_total
 
 logger = logging.getLogger(__name__)
@@ -71,7 +72,8 @@ def batch_put_sharding(mesh):
 
 def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
                     mesh=None, state_shardings=None, imagenet: bool = False,
-                    grad_accum: int = 1):
+                    grad_accum: int = 1, label_smoothing: float = 0.0,
+                    ema_decay: float = 0.0):
     """grad_accum > 1 splits each global batch into that many equal
     microbatches inside ONE jitted step (a `lax.scan` over microbatches,
     gradients averaged before the single optimizer update) — the
@@ -91,7 +93,8 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
                 variables, x, train=True, rngs={"dropout": drop_rng},
                 mutable=["batch_stats", "losses"],
             )
-            loss = cross_entropy_loss(out, labels)
+            loss = cross_entropy_loss(out, labels,
+                                      label_smoothing=label_smoothing)
             # per-layer penalties sown by L1/L2-wrapped layers
             # (utils/regularization.py) — layer-scoped, reference interface
             loss = loss + sown_losses_total(mut)
@@ -137,7 +140,8 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
             grads = jax.tree_util.tree_map(lambda g: g * inv, gsum)
             loss = lsum * inv
 
-        state = state.apply_gradients(grads, new_batch_stats=new_stats)
+        state = state.apply_gradients(grads, new_batch_stats=new_stats,
+                                      ema_decay=ema_decay)
         return state, loss
 
     repl, batch = _shardings(mesh)
@@ -155,10 +159,12 @@ def make_train_step(model, dataset: str, augment: bool, l1_decay: float = 0.0,
 
 
 def make_eval_step(model, dataset: str, num_classes: int, mesh=None,
-                   imagenet: bool = False, state_shardings=None):
+                   imagenet: bool = False, state_shardings=None,
+                   use_ema: bool = False):
     def step(state: TrainState, x_uint8, labels, weights):
         x = _eval_preprocess(x_uint8, dataset, imagenet)
-        variables = {"params": state.params}
+        variables = {"params": (state.ema_params if use_ema
+                                else state.params)}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         logits = model.apply(variables, x, train=False)
@@ -290,7 +296,11 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                           model_name: str = "model", patience=np.inf,
                           save_last: bool = True, resume: bool = False,
                           learning_rate: float = 1e-3, gamma: float = 0.8,
-                          grad_accum: int = 1, async_checkpoints: bool = True):
+                          grad_accum: int = 1, async_checkpoints: bool = True,
+                          label_smoothing: float = 0.0,
+                          ema_decay: float = 0.0,
+                          scheduler: str = "exponential",
+                          warmup_epochs: int = 0):
     """Epoch loop with best-checkpointing and early stopping
     (evaluations.py:156-247 parity).
 
@@ -298,13 +308,22 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
     AsyncCheckpointer — the write overlaps the next epoch's compute
     (the payload is host-snapshotted before the save returns, so the
     values are consistent).  All pending writes are drained before the
-    function returns and before any restore."""
+    function returns and before any restore.
+
+    ema_decay > 0 (beyond-reference): the train step maintains an EMA of
+    the params (state.ema_params must exist — create_train_state(ema_decay=...));
+    per-epoch evaluation, best-model selection, and checkpoints then use
+    the EMA weights, the standard EfficientNet/MobileNet serving recipe."""
+    use_ema = ema_decay > 0 and state.ema_params is not None
     train_step = make_train_step(model, dataset, train_ds.augment,
                                  l1_decay=l1_decay, mesh=mesh,
                                  imagenet=getattr(train_ds, "imagenet", False),
-                                 grad_accum=grad_accum)
+                                 grad_accum=grad_accum,
+                                 label_smoothing=label_smoothing,
+                                 ema_decay=ema_decay if use_ema else 0.0)
     eval_step = make_eval_step(model, dataset, num_classes, mesh=mesh,
-                               imagenet=getattr(test_ds, "imagenet", False))
+                               imagenet=getattr(test_ds, "imagenet", False),
+                               use_ema=use_ema)
     # NOTE: train_and_test_models runs dp-style (replicated params); TP
     # callers build their own steps with state_shardings (see
     # __graft_entry__.dryrun_multichip / tests/test_parallel.py).
@@ -339,6 +358,14 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
 
     batch_sharding = batch_put_sharding(mesh)
 
+    # the lr recorded in history: the schedule the optimizer was built
+    # with, sampled at each epoch's first step (same steps_per_epoch rule
+    # as train_model_generic/create_train_state)
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+    lr_schedule = make_lr_schedule(learning_rate, gamma, steps_per_epoch,
+                                   scheduler, warmup_epochs,
+                                   total_epochs=epochs)
+
     # fixed batch for the per-epoch inference timing (reference times only
     # the forward on already-loaded data — evaluations.py:107-129)
     infer_timer = make_infer_timer(
@@ -364,9 +391,10 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
             eval_step, state, test_ds, batch_size, num_classes,
             batch_sharding=batch_sharding)
         inf_ms = infer_timer(state, xb0)
-        # LR used this epoch (staircase exponential: lr * gamma^epoch,
+        # LR used this epoch (schedule value at the epoch's first step;
+        # default staircase exponential = lr * gamma^epoch,
         # generic_train.py:25 parity)
-        lr_now = learning_rate * (gamma ** epoch)
+        lr_now = float(lr_schedule(epoch * steps_per_epoch))
         history["train_loss"].append(train_loss)
         history["test_loss"].append(test_loss)
         history["accuracy"].append(acc)
@@ -447,9 +475,14 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
                         path: Optional[str] = None, resume: bool = False,
                         model_name: Optional[str] = None,
                         sample_input=None, patience=np.inf,
-                        grad_accum: int = 1):
+                        grad_accum: int = 1, label_smoothing: float = 0.0,
+                        ema_decay: float = 0.0,
+                        scheduler: str = "exponential",
+                        warmup_epochs: int = 0):
     """generic_train.py:18-53 parity: build optimizer/state and run the
-    epoch loop; returns (state, history)."""
+    epoch loop; returns (state, history).  label_smoothing / ema_decay /
+    scheduler='cosine' / warmup_epochs are opt-in beyond-reference
+    production knobs (defaults reproduce the reference recipe)."""
     model_name = model_name or getattr(model, "model_name", None) or type(model).__name__
     if sample_input is None:
         if getattr(train_ds, "imagenet", False):
@@ -462,7 +495,9 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
     state = create_train_state(
         model, jax.random.PRNGKey(seed), sample_input,
         learning_rate=learning_rate, weight_decay=weight_decay, gamma=gamma,
-        steps_per_epoch=steps_per_epoch)
+        steps_per_epoch=steps_per_epoch, scheduler=scheduler,
+        warmup_epochs=warmup_epochs, total_epochs=epochs,
+        ema_decay=ema_decay)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
     logger.info("Training model %s (%d params)", model_name, n_params)
     t0 = time.perf_counter()
@@ -470,7 +505,9 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
         model, state, train_ds, test_ds, dataset, num_classes, batch_size,
         epochs, seed=seed, l1_decay=l1_decay, mesh=mesh, path=path,
         model_name=model_name, resume=resume, learning_rate=learning_rate,
-        gamma=gamma, patience=patience, grad_accum=grad_accum)
+        gamma=gamma, patience=patience, grad_accum=grad_accum,
+        label_smoothing=label_smoothing, ema_decay=ema_decay,
+        scheduler=scheduler, warmup_epochs=warmup_epochs)
     total = time.perf_counter() - t0
     logger.info("total training time %.2f min (%.2f min/epoch)",
                 total / 60, total / 60 / max(epochs, 1))

@@ -44,9 +44,15 @@ def accuracy_from_cm(cm):
     return jnp.sum(jnp.diagonal(cm)) / jnp.maximum(jnp.sum(cm), 1)
 
 
-def cross_entropy_loss(logits, targets):
-    """Mean CE over the batch (torch nn.CrossEntropyLoss parity)."""
+def cross_entropy_loss(logits, targets, label_smoothing: float = 0.0):
+    """Mean CE over the batch (torch nn.CrossEntropyLoss parity).
+
+    label_smoothing follows torch's semantics (beyond-reference, default
+    off): loss = (1-ls) * NLL(target) + ls * mean_c(-log p_c)."""
     logp = logits - jnp.max(logits, axis=-1, keepdims=True)
     logp = logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1, keepdims=True))
     nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+    if label_smoothing:
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
     return jnp.mean(nll)

@@ -111,6 +111,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "wide basis tensors and their cotangents move half "
                         "the HBM bytes.  Measured +4%% on KAN-VGG, +18%% on "
                         "WavKAN (BENCH_NOTES.md); not torch-bit-exact")
+    p.add_argument("--label_smoothing", type=float, default=0.0,
+                   help="CE label smoothing (torch semantics; beyond-"
+                        "reference, default off)")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="maintain an EMA of the params with this decay "
+                        "(e.g. 0.999) — evaluation, best-model selection "
+                        "and checkpoints then use the EMA weights (the "
+                        "EfficientNet serving recipe; beyond-reference)")
+    p.add_argument("--scheduler", default="exponential",
+                   choices=["exponential", "cosine"],
+                   help="LR schedule: the reference's per-epoch "
+                        "ExponentialLR(gamma), or cosine decay to 0 over "
+                        "--epoch (beyond-reference)")
+    p.add_argument("--warmup_epochs", type=int, default=0,
+                   help="linear LR warmup epochs prepended to the "
+                        "schedule (beyond-reference, default off)")
     return p
 
 
@@ -403,7 +419,9 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
         # global penalty — layer-scoped, matching the reference interface.
         seed=args.seed, mesh=mesh,
         path=model_save_path, resume=args.resume, model_name=model_name,
-        patience=args.patience, grad_accum=args.grad_accum)
+        patience=args.patience, grad_accum=args.grad_accum,
+        label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
+        scheduler=args.scheduler, warmup_epochs=args.warmup_epochs)
 
     # per-epoch trajectory (beyond the reference's one-row summary)
     write_results_csv(os.path.join(results_path, "training_history.csv"),
