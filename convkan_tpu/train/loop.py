@@ -457,14 +457,16 @@ def write_results_csv(path: str, model_name: str, history: dict):
     with open(path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(["model", "epoch", "train_loss", "test_loss", "accuracy",
-                    "precision", "recall", "f1", "inference_ms",
+                    "precision", "recall", "f1", "lr", "inference_ms",
                     "epoch_min"])
         em = history.get("epoch_min", [])
+        lrs = history.get("lr", [])
         for i in range(len(history["train_loss"])):
             w.writerow([model_name, i, history["train_loss"][i],
                         history["test_loss"][i], history["accuracy"][i],
                         history["precision"][i], history["recall"][i],
-                        history["f1"][i], history["inference_ms"][i],
+                        history["f1"][i], lrs[i] if i < len(lrs) else "",
+                        history["inference_ms"][i],
                         em[i] if i < len(em) else ""])
 
 

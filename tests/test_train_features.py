@@ -168,3 +168,16 @@ def test_train_generic_with_knobs(tmp_path):
     assert history["lr"][2] < history["lr"][1]
     payload = ckpt_lib.restore_checkpoint(str(tmp_path), "knobs", "last")
     assert "ema_params" in payload
+
+    # the per-epoch CSV records the lr trajectory (meaningful now that
+    # schedules vary)
+    import csv
+
+    from convkan_tpu.train.loop import write_results_csv
+
+    csv_path = str(tmp_path / "hist.csv")
+    write_results_csv(csv_path, "knobs", history)
+    with open(csv_path) as f:
+        rows = list(csv.DictReader(f))
+    np.testing.assert_allclose([float(r["lr"]) for r in rows],
+                               history["lr"], rtol=1e-6)
