@@ -480,11 +480,13 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
                         grad_accum: int = 1, label_smoothing: float = 0.0,
                         ema_decay: float = 0.0,
                         scheduler: str = "exponential",
-                        warmup_epochs: int = 0):
+                        warmup_epochs: int = 0,
+                        clip_grad_norm: float = 0.0):
     """generic_train.py:18-53 parity: build optimizer/state and run the
     epoch loop; returns (state, history).  label_smoothing / ema_decay /
-    scheduler='cosine' / warmup_epochs are opt-in beyond-reference
-    production knobs (defaults reproduce the reference recipe)."""
+    scheduler='cosine' / warmup_epochs / clip_grad_norm are opt-in
+    beyond-reference production knobs (defaults reproduce the reference
+    recipe)."""
     model_name = model_name or getattr(model, "model_name", None) or type(model).__name__
     if sample_input is None:
         if getattr(train_ds, "imagenet", False):
@@ -499,7 +501,7 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
         learning_rate=learning_rate, weight_decay=weight_decay, gamma=gamma,
         steps_per_epoch=steps_per_epoch, scheduler=scheduler,
         warmup_epochs=warmup_epochs, total_epochs=epochs,
-        ema_decay=ema_decay)
+        ema_decay=ema_decay, clip_grad_norm=clip_grad_norm)
     n_params = sum(p.size for p in jax.tree_util.tree_leaves(state.params))
     logger.info("Training model %s (%d params)", model_name, n_params)
     t0 = time.perf_counter()

@@ -88,14 +88,20 @@ def make_lr_schedule(learning_rate: float, gamma: float,
 def make_optimizer(learning_rate: float, weight_decay: float, gamma: float,
                    steps_per_epoch: int, scheduler: str = "exponential",
                    warmup_epochs: int = 0,
-                   total_epochs: Optional[int] = None
+                   total_epochs: Optional[int] = None,
+                   clip_grad_norm: float = 0.0
                    ) -> optax.GradientTransformation:
     """AdamW(lr, wd) + the configured LR schedule (default: ExponentialLR
-    stepped per epoch, generic_train.py:24-25)."""
+    stepped per epoch, generic_train.py:24-25).  clip_grad_norm > 0
+    prepends global-norm gradient clipping (torch
+    clip_grad_norm_ semantics; beyond-reference, default off)."""
     schedule = make_lr_schedule(learning_rate, gamma, steps_per_epoch,
                                 scheduler, warmup_epochs, total_epochs)
-    return optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
-                       weight_decay=weight_decay)
+    adamw = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                        weight_decay=weight_decay)
+    if clip_grad_norm > 0:
+        return optax.chain(optax.clip_by_global_norm(clip_grad_norm), adamw)
+    return adamw
 
 
 def create_train_state(model, rng, sample_input, learning_rate=1e-3,
@@ -103,7 +109,8 @@ def create_train_state(model, rng, sample_input, learning_rate=1e-3,
                        train: bool = False, scheduler: str = "exponential",
                        warmup_epochs: int = 0,
                        total_epochs: Optional[int] = None,
-                       ema_decay: float = 0.0) -> TrainState:
+                       ema_decay: float = 0.0,
+                       clip_grad_norm: float = 0.0) -> TrainState:
     # init under jit: eager per-op dispatch is orders of magnitude slower
     # than one compiled program (especially over the remote-TPU tunnel)
     variables = jax.jit(
@@ -112,7 +119,8 @@ def create_train_state(model, rng, sample_input, learning_rate=1e-3,
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(learning_rate, weight_decay, gamma, steps_per_epoch,
-                        scheduler, warmup_epochs, total_epochs)
+                        scheduler, warmup_epochs, total_epochs,
+                        clip_grad_norm=clip_grad_norm)
     opt_state = jax.jit(tx.init)(params)
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -62,6 +62,34 @@ def test_lr_schedule_shapes():
         make_lr_schedule(1e-3, 0.8, spe, scheduler="nope")
 
 
+def test_clip_grad_norm_wiring():
+    """make_optimizer(clip_grad_norm>0) really clips before AdamW.
+
+    Adam is scale-invariant for large gradients, so the observable is the
+    epsilon regime: an absurdly small clip threshold shrinks the gradient
+    until eps dominates and the update collapses toward zero, while the
+    unclipped optimizer takes a full ~lr-sized step."""
+    from convkan_tpu.train.state import make_optimizer
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    grads = {"w": jnp.full((4,), 3.0, jnp.float32)}
+
+    def step_delta(tx):
+        opt_state = tx.init(params)
+        updates, _ = tx.update(grads, opt_state, params)
+        return float(jnp.max(jnp.abs(updates["w"])))
+
+    free = step_delta(make_optimizer(1e-3, 0.0, 0.8, 1))
+    clipped = step_delta(make_optimizer(1e-3, 0.0, 0.8, 1,
+                                        clip_grad_norm=1e-12))
+    assert free > 1e-4          # full Adam step ~ lr
+    assert clipped < free * 1e-2  # eps-dominated: update collapses
+    # threshold above the gradient norm: clipping is a no-op
+    noop = step_delta(make_optimizer(1e-3, 0.0, 0.8, 1,
+                                     clip_grad_norm=1e6))
+    np.testing.assert_allclose(noop, free, rtol=1e-6)
+
+
 def _tiny_mlp():
     from convkan_tpu.factory.mlp_factory import MLP_KAN_FACTORY
 
@@ -160,7 +188,7 @@ def test_train_generic_with_knobs(tmp_path):
         model, train_ds, test_ds, "MNIST", 10, batch_size=32, epochs=3,
         path=str(tmp_path), model_name="knobs", label_smoothing=0.1,
         ema_decay=0.5, scheduler="cosine", warmup_epochs=1,
-        learning_rate=1e-3)
+        clip_grad_norm=1.0, learning_rate=1e-3)
     assert np.isfinite(history["train_loss"]).all()
     # warmup epoch starts at lr 0; epoch 1 is the cosine peak; decays after
     np.testing.assert_allclose(history["lr"][0], 0.0, atol=1e-12)

@@ -127,6 +127,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmup_epochs", type=int, default=0,
                    help="linear LR warmup epochs prepended to the "
                         "schedule (beyond-reference, default off)")
+    p.add_argument("--clip_grad_norm", type=float, default=0.0,
+                   help="clip gradients to this global L2 norm before the "
+                        "optimizer update (torch clip_grad_norm_ "
+                        "semantics; beyond-reference, default off)")
     return p
 
 
@@ -421,7 +425,8 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
         path=model_save_path, resume=args.resume, model_name=model_name,
         patience=args.patience, grad_accum=args.grad_accum,
         label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
-        scheduler=args.scheduler, warmup_epochs=args.warmup_epochs)
+        scheduler=args.scheduler, warmup_epochs=args.warmup_epochs,
+        clip_grad_norm=args.clip_grad_norm)
 
     # per-epoch trajectory (beyond the reference's one-row summary)
     write_results_csv(os.path.join(results_path, "training_history.csv"),
