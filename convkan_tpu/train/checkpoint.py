@@ -169,13 +169,30 @@ def restore_checkpoint(root: str, name: str, kind: str, state=None):
     payload = ckptr.restore(os.path.realpath(path))
     if state is None:
         return payload
-    opt_state = fser.from_state_dict(state.opt_state, payload["opt_state"])
+    try:
+        opt_state = fser.from_state_dict(state.opt_state,
+                                         payload["opt_state"])
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"checkpoint '{name}_{kind}' holds optimizer state that does "
+            "not match this run's optimizer — resume must use the same "
+            "optimizer configuration as the original run (same "
+            "--clip_grad_norm on/off, --scheduler, lr/wd flags). "
+            f"Underlying mismatch: {e}") from e
+    # ema_params is restored only when the template tracks an EMA
+    # (ema_decay > 0 this run).  Resuming an EMA-trained checkpoint with
+    # EMA off must NOT carry the stale EMA tree forward — it would stop
+    # updating but still be preferred by serving (serve.py build_engine).
+    if state.ema_params is not None:
+        ema = payload.get("ema_params", state.ema_params)
+    else:
+        ema = None
     return state.replace(
         step=jax.numpy.asarray(payload["step"]),
         params=payload["params"],
         opt_state=opt_state,
         batch_stats=payload["batch_stats"],
-        ema_params=payload.get("ema_params", state.ema_params),
+        ema_params=ema,
     ), payload.get("extra", {})
 
 

@@ -174,6 +174,16 @@ def test_ema_checkpoint_roundtrip(tmp_path):
     ckpt_lib.save_checkpoint(str(tmp_path), "m2", "last", state2)
     r2, _ = ckpt_lib.restore_checkpoint(str(tmp_path), "m2", "last", state2)
     assert r2.ema_params is None
+    # resuming an EMA checkpoint with EMA OFF must drop the stale EMA
+    # tree (it would stop updating yet be preferred by serving)
+    r3, _ = ckpt_lib.restore_checkpoint(str(tmp_path), "m", "last", state2)
+    assert r3.ema_params is None
+    # resuming with a different optimizer structure (clip on/off) fails
+    # with a message naming the flags, not a bare flax tree error
+    state3 = create_train_state(model, jax.random.PRNGKey(0), x0,
+                                clip_grad_norm=1.0)
+    with pytest.raises(ValueError, match="same optimizer configuration"):
+        ckpt_lib.restore_checkpoint(str(tmp_path), "m2", "last", state3)
 
 
 def test_train_generic_with_knobs(tmp_path):
