@@ -325,3 +325,62 @@ def test_serve_from_exported_stablehlo(tmp_path):
     finally:
         live.close()
         exported.close()
+
+
+@pytest.mark.slow
+def test_serve_prefers_ema_weights(tmp_path):
+    """An EMA-trained checkpoint serves its EMA weights (train/loop.py
+    evaluates/selects on the EMA when ema_decay > 0, so serving must use
+    the same tree): engine(EMA ckpt with garbage live params) ==
+    engine(plain ckpt whose params ARE the EMA tree)."""
+    from convkan_tpu.migrate import _load_train_module
+    from convkan_tpu.serve import build_engine
+    from convkan_tpu.train.checkpoint import save_checkpoint
+    from convkan_tpu.train.state import create_train_state
+
+    train = _load_train_module()
+    p = train.build_parser()
+    p.add_argument("--kind", default="best")
+    p.add_argument("--ckpt_name", default=None)
+    p.add_argument("--init_random", action="store_true")
+    p.add_argument("--fold_bn", action="store_true")
+    p.add_argument("--bn_eps", type=float, default=1e-5)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--buckets", default="4")
+    p.add_argument("--batch_timeout_ms", type=float, default=2.0)
+    flags = ["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+             "--dataset", "CIFAR10", "--width_scale", "0.25",
+             "--results_dir", str(tmp_path), "--buckets", "4"]
+
+    args = p.parse_args(flags + ["--ckpt_name", "ema_ck"])
+    model = train.build_model(args, (32, 32, 3), 10)
+    import jax.numpy as jnp
+
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((2, 32, 32, 3), jnp.float32),
+                               ema_decay=0.9)
+    good = state.ema_params
+    state = state.replace(params=jax.tree_util.tree_map(
+        lambda q: q + 1e3, state.params))
+    root = str(tmp_path / "CIFAR10" / "models")
+    save_checkpoint(root, "ema_ck", "best", state, async_save=False)
+    # control: a non-EMA checkpoint whose live params are the EMA tree
+    ctrl = create_train_state(model, jax.random.PRNGKey(1),
+                              jnp.zeros((2, 32, 32, 3), jnp.float32))
+    ctrl = ctrl.replace(params=good)
+    save_checkpoint(root, "plain_ck", "best", ctrl, async_save=False)
+
+    x = np.random.RandomState(3).randint(0, 256, (4, 32, 32, 3), np.uint8)
+    eng_ema, _ = build_engine(args, train)
+    try:
+        y_ema = eng_ema.predict(x)
+    finally:
+        eng_ema.close()
+    args2 = p.parse_args(flags + ["--ckpt_name", "plain_ck"])
+    eng_ctrl, _ = build_engine(args2, train)
+    try:
+        y_ctrl = eng_ctrl.predict(x)
+    finally:
+        eng_ctrl.close()
+    np.testing.assert_allclose(y_ema, y_ctrl, rtol=1e-6, atol=1e-6)
+    assert np.isfinite(y_ema).all()
