@@ -22,6 +22,8 @@ from __future__ import annotations
 import csv
 import logging
 import os
+import signal
+import threading
 import time
 from typing import Any, Optional
 
@@ -40,6 +42,72 @@ from .state import (TrainState, create_train_state, l1_penalty,
 from ..utils.regularization import sown_losses_total
 
 logger = logging.getLogger(__name__)
+
+# --- graceful preemption (SURVEY.md §5 "failure detection / recovery") ---
+# Cloud TPU workers get SIGTERM ahead of preemption.  The epoch loop
+# installs a handler that sets this event; the batch loop polls it and,
+# when set, saves a resumable 'last' checkpoint and raises
+# TrainingPreempted so the caller can exit with a restart-me status
+# (train.py exits PREEMPTED_EXIT_CODE; train/supervise.py relaunches
+# with --resume).
+_PREEMPT = threading.Event()
+
+PREEMPTED_EXIT_CODE = 75  # EX_TEMPFAIL: transient, retry me
+
+
+class TrainingPreempted(RuntimeError):
+    """Raised by train_and_test_models after a preemption-triggered
+    checkpoint save; .epoch is the epoch the resumed run will redo."""
+
+    def __init__(self, epoch: int, message: str):
+        super().__init__(message)
+        self.epoch = epoch
+
+
+def request_preemption():
+    """Ask the running epoch loop to checkpoint and stop at the next
+    batch boundary (what the SIGTERM handler calls; tests and embedders
+    can call it directly from any thread)."""
+    _PREEMPT.set()
+
+
+def _install_preemption_handler():
+    """SIGTERM -> request_preemption().  Returns a restore() callable.
+    No-op outside the main thread (signal.signal would raise) or where a
+    non-default handler is already installed (don't steal an embedding
+    application's handler)."""
+    try:
+        prev = signal.getsignal(signal.SIGTERM)
+        if prev not in (signal.SIG_DFL, None):
+            return lambda: None
+        signal.signal(signal.SIGTERM, lambda *_: request_preemption())
+        return lambda: signal.signal(signal.SIGTERM, prev)
+    except ValueError:  # not the main thread
+        return lambda: None
+
+
+def _preempt_checkpoint_and_raise(path, model_name, state, epoch, best_acc,
+                                  epochs_no_improve, history, save_last):
+    """Synchronously persist a resumable 'last' checkpoint (epoch NOT
+    counted as done — the resumed run redoes it from its start with the
+    freshest params/opt-state/BN-stats) and raise TrainingPreempted."""
+    # drain in-flight async epoch saves first: a concurrent writer on the
+    # same checkpoint name would race with (and be GC'd by) the sync save
+    ckpt_lib.wait_for_async_saves()
+    if path and save_last:
+        ckpt_lib.save_checkpoint(
+            path, model_name, "last", state,
+            extra={"epoch": epoch, "best_acc": best_acc,
+                   "epochs_no_improve": epochs_no_improve,
+                   "history": history},
+            async_save=False)
+    ckpt_lib.wait_for_async_saves()
+    logger.info("preemption: checkpointed at epoch %d; exiting for restart",
+                epoch)
+    raise TrainingPreempted(
+        epoch, f"preempted during epoch {epoch}; resumable 'last' "
+               f"checkpoint saved" if path and save_last else
+               f"preempted during epoch {epoch} (no checkpoint path)")
 
 
 def _shardings(mesh):
@@ -372,69 +440,87 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
         model, dataset, imagenet=getattr(test_ds, "imagenet", False))
     xb0 = make_timer_batch(test_ds, batch_size, batch_sharding)
 
-    for epoch in range(start_epoch, epochs):
-        t0 = time.perf_counter()
-        losses = []
+    # graceful preemption: SIGTERM (what cloud schedulers send ahead of a
+    # TPU preemption) requests a checkpoint-and-stop at the next batch
+    # boundary instead of killing the run mid-step
+    _PREEMPT.clear()
+    restore_sigterm = _install_preemption_handler()
+    try:
+        for epoch in range(start_epoch, epochs):
+            if _PREEMPT.is_set():  # fired during the previous epoch's eval/save
+                _preempt_checkpoint_and_raise(
+                    path, model_name, state, epoch, best_acc,
+                    epochs_no_improve, history, save_last)
+            t0 = time.perf_counter()
+            losses = []
 
-        def shuffled(ep):
-            for b in epoch_batches(train_ds, batch_size, seed=seed + ep,
-                                   shuffle=True, drop_last=True):
-                yield _local_rows(b)
+            def shuffled(ep):
+                for b in epoch_batches(train_ds, batch_size, seed=seed + ep,
+                                       shuffle=True, drop_last=True):
+                    yield _local_rows(b)
 
-        for xb, yb in prefetch_batches(shuffled(epoch),
-                                       sharding=batch_sharding):
-            state, loss = train_step(state, rng, xb, yb)
-            losses.append(loss)
-        train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+            for xb, yb in prefetch_batches(shuffled(epoch),
+                                           sharding=batch_sharding):
+                state, loss = train_step(state, rng, xb, yb)
+                losses.append(loss)
+                if _PREEMPT.is_set():
+                    # the epoch is incomplete: checkpoint the freshest state
+                    # with epoch=epoch so the resumed run redoes this epoch
+                    _preempt_checkpoint_and_raise(
+                        path, model_name, state, epoch, best_acc,
+                        epochs_no_improve, history, save_last)
+            train_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
 
-        test_loss, acc, prec, rec, f1 = evaluate(
-            eval_step, state, test_ds, batch_size, num_classes,
-            batch_sharding=batch_sharding)
-        inf_ms = infer_timer(state, xb0)
-        # LR used this epoch (schedule value at the epoch's first step;
-        # default staircase exponential = lr * gamma^epoch,
-        # generic_train.py:25 parity)
-        lr_now = float(lr_schedule(epoch * steps_per_epoch))
-        history["train_loss"].append(train_loss)
-        history["test_loss"].append(test_loss)
-        history["accuracy"].append(acc)
-        history["precision"].append(prec)
-        history["recall"].append(rec)
-        history["f1"].append(f1)
-        history["lr"].append(lr_now)
-        history["inference_ms"].append(inf_ms)
+            test_loss, acc, prec, rec, f1 = evaluate(
+                eval_step, state, test_ds, batch_size, num_classes,
+                batch_sharding=batch_sharding)
+            inf_ms = infer_timer(state, xb0)
+            # LR used this epoch (schedule value at the epoch's first step;
+            # default staircase exponential = lr * gamma^epoch,
+            # generic_train.py:25 parity)
+            lr_now = float(lr_schedule(epoch * steps_per_epoch))
+            history["train_loss"].append(train_loss)
+            history["test_loss"].append(test_loss)
+            history["accuracy"].append(acc)
+            history["precision"].append(prec)
+            history["recall"].append(rec)
+            history["f1"].append(f1)
+            history["lr"].append(lr_now)
+            history["inference_ms"].append(inf_ms)
 
-        dt = time.perf_counter() - t0
-        # avg epoch minutes is a reference harness metric
-        # (generic_train.py:32; surfaced by final_plots' use_time table)
-        history["epoch_min"].append(dt / 60.0)
-        logger.info(
-            "epoch %d: train_loss %.4f test_loss %.4f acc %.4f "
-            "P %.4f R %.4f F1 %.4f (%.1fs, %.3f ms/img)",
-            epoch, train_loss, test_loss, acc, prec, rec, f1, dt, inf_ms)
+            dt = time.perf_counter() - t0
+            # avg epoch minutes is a reference harness metric
+            # (generic_train.py:32; surfaced by final_plots' use_time table)
+            history["epoch_min"].append(dt / 60.0)
+            logger.info(
+                "epoch %d: train_loss %.4f test_loss %.4f acc %.4f "
+                "P %.4f R %.4f F1 %.4f (%.1fs, %.3f ms/img)",
+                epoch, train_loss, test_loss, acc, prec, rec, f1, dt, inf_ms)
 
-        if acc > best_acc:
-            best_acc = acc
-            epochs_no_improve = 0
-            if path:
+            if acc > best_acc:
+                best_acc = acc
+                epochs_no_improve = 0
+                if path:
+                    ckpt_lib.save_checkpoint(
+                        path, model_name, "best", state,
+                        extra={"epoch": epoch + 1, "best_acc": best_acc,
+                               "epochs_no_improve": epochs_no_improve,
+                               "history": history},
+                        async_save=async_checkpoints)
+            else:
+                epochs_no_improve += 1
+            if path and save_last:
                 ckpt_lib.save_checkpoint(
-                    path, model_name, "best", state,
+                    path, model_name, "last", state,
                     extra={"epoch": epoch + 1, "best_acc": best_acc,
                            "epochs_no_improve": epochs_no_improve,
                            "history": history},
                     async_save=async_checkpoints)
-        else:
-            epochs_no_improve += 1
-        if path and save_last:
-            ckpt_lib.save_checkpoint(
-                path, model_name, "last", state,
-                extra={"epoch": epoch + 1, "best_acc": best_acc,
-                       "epochs_no_improve": epochs_no_improve,
-                       "history": history},
-                async_save=async_checkpoints)
-        if epochs_no_improve > patience:
-            logger.info("early stopping at epoch %d", epoch)
-            break
+            if epochs_no_improve > patience:
+                logger.info("early stopping at epoch %d", epoch)
+                break
+    finally:
+        restore_sigterm()
 
     ckpt_lib.wait_for_async_saves()
     return state, history

@@ -414,19 +414,30 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
         return {"test_loss": loss, "accuracy": acc, "precision": prec,
                 "recall": rec, "f1": f1, "inference_ms": inf_ms}
 
-    state, history = train_model_generic(
-        model, train_ds, test_ds, args.dataset, num_classes,
-        batch_size=args.batch_size, learning_rate=args.lr,
-        weight_decay=args.weight_decay, gamma=args.gamma, epochs=args.epoch,
-        # NOTE: --l1_decay reaches the loss through the per-layer L1
-        # wrappers the factories build (utils/regularization.L1), not as a
-        # global penalty — layer-scoped, matching the reference interface.
-        seed=args.seed, mesh=mesh,
-        path=model_save_path, resume=args.resume, model_name=model_name,
-        patience=args.patience, grad_accum=args.grad_accum,
-        label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
-        scheduler=args.scheduler, warmup_epochs=args.warmup_epochs,
-        clip_grad_norm=args.clip_grad_norm)
+    from convkan_tpu.train.loop import PREEMPTED_EXIT_CODE, TrainingPreempted
+
+    try:
+        state, history = train_model_generic(
+            model, train_ds, test_ds, args.dataset, num_classes,
+            batch_size=args.batch_size, learning_rate=args.lr,
+            weight_decay=args.weight_decay, gamma=args.gamma,
+            epochs=args.epoch,
+            # NOTE: --l1_decay reaches the loss through the per-layer L1
+            # wrappers the factories build (utils/regularization.L1), not as
+            # a global penalty — layer-scoped, matching the reference
+            # interface.
+            seed=args.seed, mesh=mesh,
+            path=model_save_path, resume=args.resume, model_name=model_name,
+            patience=args.patience, grad_accum=args.grad_accum,
+            label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
+            scheduler=args.scheduler, warmup_epochs=args.warmup_epochs,
+            clip_grad_norm=args.clip_grad_norm)
+    except TrainingPreempted as e:
+        # SIGTERM arrived (cloud preemption notice): a resumable 'last'
+        # checkpoint was saved.  EX_TEMPFAIL tells the supervisor
+        # (python -m convkan_tpu.train.supervise) to relaunch with --resume.
+        logger.info("preempted at epoch %d: %s", e.epoch, e)
+        raise SystemExit(PREEMPTED_EXIT_CODE)
 
     # per-epoch trajectory (beyond the reference's one-row summary)
     write_results_csv(os.path.join(results_path, "training_history.csv"),
