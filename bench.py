@@ -103,20 +103,42 @@ def measure_vgg_train(batch=BATCH, steps=STEPS, bf16_basis=False,
 
     from convkan_tpu.nn.kan_conv import set_perf_defaults
 
+    overrides = {}
     if bf16_basis:
         # process-default override (a bare class-attribute assignment on
         # a flax dataclass is a no-op); the --bf16_basis variant row is
         # explicitly NOT torch-bit-exact — see BENCH_NOTES.md
-        set_perf_defaults(basis_bf16=True)
+        overrides["basis_bf16"] = True
     if stack_basis:
         # basis assembly A/B variants (see KanConvND.basis_build):
         # 'stack' is bit-identical; 'bcast' is the single-operand
         # broadcast form (f32-roundoff-equal for the kan family)
-        set_perf_defaults(basis_build=stack_basis)
+        overrides["basis_build"] = stack_basis
     if "--island_bf16" in sys.argv:
         # native-bf16 basis+contraction island (wide cotangents stay
         # bf16 in HBM) — see KanConvND.island_bf16
-        set_perf_defaults(island_bf16=True)
+        overrides["island_bf16"] = True
+    # restored at the end of this measurement — the defaults are
+    # process-wide, and later --all rows must record the exact-f32
+    # baseline they claim to (set_perf_defaults returns the previous
+    # values for exactly this purpose)
+    prev = set_perf_defaults(**overrides) if overrides else {}
+    try:
+        return _measure_vgg_train_body(batch, steps)
+    finally:
+        if prev:
+            set_perf_defaults(**prev)
+
+
+def _measure_vgg_train_body(batch, steps):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convkan_tpu.models.vgg import vggkan
+    from convkan_tpu.train.loop import make_train_step
+    from convkan_tpu.train.state import create_train_state
+
     model = vggkan(3, 10, arch=ARCH, kan_conv="KAN", classifier_type="Linear")
     x0 = jnp.zeros((batch, 32, 32, 3), jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(0), x0,

@@ -153,6 +153,12 @@ def save_checkpoint(root: str, name: str, kind: str, state,
         ckptr.save(dst, payload)
         _PENDING[path] = dst
         return path
+    # drain any in-flight async save to this path BEFORE the GC sweep —
+    # otherwise _gc_stale_versions would rmtree the pending version dir out
+    # from under Orbax and the deferred symlink swap would point at nothing
+    if path in _ASYNC_CKPTRS:
+        _ASYNC_CKPTRS[path].wait_until_finished()
+    _commit_pending(path)
     ckptr = ocp.PyTreeCheckpointer()
     _gc_stale_versions(path, keep=(dst,))
     ckptr.save(dst, payload)
@@ -184,7 +190,11 @@ def restore_checkpoint(root: str, name: str, kind: str, state=None):
     # EMA off must NOT carry the stale EMA tree forward — it would stop
     # updating but still be preferred by serving (serve.py build_engine).
     if state.ema_params is not None:
-        ema = payload.get("ema_params", state.ema_params)
+        # enabling EMA on resume from a non-EMA checkpoint seeds the EMA
+        # from the RESTORED params (the template's ema_params is a copy of
+        # fresh random init — decay 0.999 would keep it mostly-random for
+        # hundreds of steps, corrupting eval/best-selection/serving)
+        ema = payload.get("ema_params", payload["params"])
     else:
         ema = None
     return state.replace(

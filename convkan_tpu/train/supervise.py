@@ -42,12 +42,16 @@ def supervise(cmd: list, max_restarts: int = 10) -> int:
     outer scheduler can keep the chain going)."""
     restarts = 0
     current = list(cmd)
+    terminated = []  # set when WE got SIGTERM: propagate, don't relaunch
     while True:
         child = subprocess.Popen(current)
 
         def forward(signum, _frame):
             # pass the preemption notice down; the child checkpoints and
             # exits 75, which we then propagate instead of relaunching
+            # (the host itself is going away — an outer process manager
+            # that restarts on 75 re-schedules the whole pair)
+            terminated.append(signum)
             child.send_signal(signum)
 
         prev_term = signal.signal(signal.SIGTERM, forward)
@@ -56,6 +60,10 @@ def supervise(cmd: list, max_restarts: int = 10) -> int:
         finally:
             signal.signal(signal.SIGTERM, prev_term)
 
+        if terminated:
+            logger.info("supervisor terminated; propagating child exit %d",
+                        rc)
+            return rc
         if rc != PREEMPTED_EXIT_CODE:
             return rc
         if restarts >= max_restarts:

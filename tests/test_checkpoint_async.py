@@ -38,6 +38,24 @@ def test_async_save_then_restore_drains(tmp_path):
         state.params, restored.params)
 
 
+def test_sync_save_while_async_pending(tmp_path):
+    """A sync save issued while an async save to the SAME path is still
+    pending must drain it first — the GC sweep would otherwise rmtree the
+    in-flight version dir out from under Orbax and the deferred symlink
+    swap would point at a deleted directory."""
+    state = _tiny_state()
+    root = str(tmp_path)
+    for i in range(3):  # repeat: the race window depends on write timing
+        ckpt_lib.save_checkpoint(root, "m", "last", state,
+                                 extra={"epoch": 2 * i}, async_save=True)
+        ckpt_lib.save_checkpoint(root, "m", "last", state,
+                                 extra={"epoch": 2 * i + 1},
+                                 async_save=False)
+        # the sync save is the newest commit and must win
+        payload = ckpt_lib.restore_checkpoint(root, "m", "last")
+        assert payload["extra"]["epoch"] == 2 * i + 1
+
+
 def test_resave_never_removes_live_checkpoint(tmp_path):
     """Durability: re-saving {name}_last must never leave a window where
     the name is missing or unrestorable — a preemption mid-save used to

@@ -149,3 +149,29 @@ def test_cli_eval_only(tmp_path):
     # determinism: a second eval of the same checkpoint agrees exactly
     out2 = cli.main(base + ["--eval_only", "--eval_kind", "last"])
     assert out2["test_loss"] == pytest.approx(out["test_loss"], abs=1e-6)
+
+
+@pytest.mark.slow
+def test_cli_eval_only_ema_and_clip(tmp_path):
+    """--eval_only restores the raw payload (no optimizer template), so
+    checkpoints trained with --ema_decay/--clip_grad_norm/--scheduler
+    evaluate WITHOUT re-specifying the flags, and EMA-trained checkpoints
+    are evaluated on the EMA weights — the same weights the training
+    loop's per-epoch eval used and serve.py serves."""
+    import csv
+
+    base = ["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+            "--dataset", "MNIST", "--synthetic_data",
+            "--synthetic_size", "128", "--batch_size", "64",
+            "--results_dir", str(tmp_path)]
+    cli.main(base + ["--epoch", "1", "--ema_decay", "0.9",
+                     "--clip_grad_norm", "1.0"])
+    # no --ema_decay / --clip_grad_norm here: must still evaluate
+    out = cli.main(base + ["--eval_only", "--eval_kind", "last"])
+    # ... on the EMA weights: matches the training loop's recorded eval
+    with open(tmp_path / "training_history.csv") as f:
+        last_row = list(csv.DictReader(f))[-1]
+    assert out["test_loss"] == pytest.approx(float(last_row["test_loss"]),
+                                             abs=1e-5)
+    assert out["accuracy"] == pytest.approx(float(last_row["accuracy"]),
+                                            abs=1e-6)

@@ -174,3 +174,37 @@ def test_supervise_passes_through_real_failures(tmp_path):
             "sys.exit(3)\n")
     assert supervise(_child_cmd(body), max_restarts=5) == 3
     assert log.read_text() == "x"
+
+
+def test_supervise_sigterm_propagates_not_relaunch(tmp_path):
+    """When the SUPERVISOR is SIGTERMed (the host itself is going away),
+    it forwards the signal to the child and propagates the child's exit
+    code instead of relaunching training on the dying host — an outer
+    process manager that restarts on 75 re-schedules the whole pair."""
+    import subprocess
+    import time
+
+    log = tmp_path / "runs.log"
+    child = (
+        "import signal, sys, time\n"
+        f"open({str(log)!r}, 'a').write('x')\n"
+        "signal.signal(signal.SIGTERM, lambda *_: sys.exit(75))\n"
+        "print('READY', flush=True)\n"
+        "time.sleep(60)\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sup = subprocess.Popen(
+        [sys.executable, "-m", "convkan_tpu.train.supervise", "--",
+         sys.executable, "-c", child],
+        stdout=subprocess.PIPE, text=True, cwd=repo)
+    try:
+        assert sup.stdout.readline().strip() == "READY"
+        sup.send_signal(signal.SIGTERM)
+        rc = sup.wait(timeout=60)
+    finally:
+        if sup.poll() is None:
+            sup.kill()
+            sup.wait()
+        sup.stdout.close()
+    assert rc == PREEMPTED_EXIT_CODE
+    time.sleep(0.2)  # a (buggy) relaunch would have re-written by now
+    assert log.read_text() == "x", "child was relaunched after SIGTERM"

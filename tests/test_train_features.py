@@ -184,6 +184,18 @@ def test_ema_checkpoint_roundtrip(tmp_path):
                                 clip_grad_norm=1.0)
     with pytest.raises(ValueError, match="same optimizer configuration"):
         ckpt_lib.restore_checkpoint(str(tmp_path), "m2", "last", state3)
+    # enabling EMA on resume from a NON-EMA checkpoint seeds the EMA from
+    # the restored (trained) params — NOT from the template's fresh random
+    # init, which decay 0.999 would keep mostly-random for hundreds of
+    # steps, corrupting eval/best-selection/serving
+    template4 = create_train_state(model, jax.random.PRNGKey(99), x0,
+                                   ema_decay=0.9)
+    r4, _ = ckpt_lib.restore_checkpoint(str(tmp_path), "m2", "last",
+                                        template4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        r4.ema_params, r4.params)
 
 
 def test_train_generic_with_knobs(tmp_path):

@@ -377,11 +377,13 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
     if args.eval_only:
         import jax.numpy as jnp
 
+        import optax
+
         from convkan_tpu.train import checkpoint as ckpt_lib
         from convkan_tpu.train.loop import (batch_put_sharding, evaluate,
                                             make_eval_step, make_infer_timer,
                                             make_timer_batch)
-        from convkan_tpu.train.state import create_train_state
+        from convkan_tpu.train.state import TrainState
 
         if not ckpt_lib.checkpoint_exists(model_save_path, model_name,
                                           args.eval_kind):
@@ -389,16 +391,27 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
                 f"--eval_only: no '{args.eval_kind}' checkpoint for "
                 f"{model_name} under {model_save_path} — train first, or "
                 f"import one with `python -m convkan_tpu.migrate`")
-        state = create_train_state(
-            model, jax.random.PRNGKey(args.seed),
-            jnp.zeros((2,) + input_shape, jnp.float32),
-            learning_rate=args.lr, weight_decay=args.weight_decay,
-            gamma=args.gamma)
-        state, extra = ckpt_lib.restore_checkpoint(
-            model_save_path, model_name, args.eval_kind, state)
+        # raw-payload restore (no optimizer template): eval never touches
+        # opt_state, so checkpoints trained with any --clip_grad_norm /
+        # --scheduler / --ema_decay combination evaluate without the flags
+        # being re-specified.  EMA-trained checkpoints are evaluated on the
+        # EMA weights — the same weights training's best-selection used and
+        # serve.py serves.
+        payload = ckpt_lib.restore_checkpoint(model_save_path, model_name,
+                                              args.eval_kind)
+        ema = payload.get("ema_params") or None
+        state = TrainState(
+            step=jnp.asarray(payload["step"]), params=payload["params"],
+            opt_state=(), batch_stats=payload.get("batch_stats") or {},
+            tx=optax.identity(), ema_params=ema)
+        extra = payload.get("extra", {})
+        if ema is not None:
+            logger.info("eval_only: checkpoint carries EMA weights — "
+                        "evaluating the EMA (what serving uses)")
         imagenet = getattr(test_ds, "imagenet", False)
         eval_step = make_eval_step(model, args.dataset, num_classes,
-                                   mesh=mesh, imagenet=imagenet)
+                                   mesh=mesh, imagenet=imagenet,
+                                   use_ema=ema is not None)
         batch_sharding = batch_put_sharding(mesh)
         loss, acc, prec, rec, f1 = evaluate(
             eval_step, state, test_ds, args.batch_size, num_classes,
