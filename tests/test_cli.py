@@ -63,6 +63,9 @@ def test_cli_main_end_to_end_report_artifacts(tmp_path):
     head = (tmp_path / "experiment_results.csv").read_text().splitlines()[0]
     assert head.startswith("Model Name,Final Test Accuracy")
     assert os.path.isdir(tmp_path / "MNIST" / "models")
+    # run record for `python -m convkan_tpu.report` aggregation
+    recs = list((tmp_path / "runs").glob("*.npz"))
+    assert len(recs) == 1 and recs[0].stat().st_size > 0
 
 
 def test_cli_mesh_spatial_validation():
@@ -127,6 +130,34 @@ def test_cli_bf16_island_trains(tmp_path):
         assert losses[-1] < losses[0], f"no learning under bf16: {losses}"
     finally:
         set_perf_defaults(island_bf16=False)
+
+
+def test_cli_profile_and_debug_nans(tmp_path):
+    """--profile_dir writes a jax.profiler trace of the run; --debug_nans
+    turns on the NaN tripwire (the reference's set_detect_anomaly
+    analogue, train.py:431 — opt-in here) without breaking a clean run."""
+    import glob
+    import os
+
+    import jax
+
+    prof = tmp_path / "trace"
+    try:
+        cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+                  "--dataset", "MNIST", "--synthetic_data",
+                  "--synthetic_size", "64", "--epoch", "1",
+                  "--batch_size", "32", "--debug_nans",
+                  "--profile_dir", str(prof),
+                  "--results_dir", str(tmp_path)])
+        assert jax.config.jax_debug_nans
+        assert glob.glob(os.path.join(str(prof), "**", "*.pb"),
+                         recursive=True) or \
+            glob.glob(os.path.join(str(prof), "**", "*.json.gz"),
+                      recursive=True), "no trace artifact written"
+    finally:
+        from convkan_tpu.train.profiling import debug_nans
+
+        debug_nans(False)  # process-wide flag: don't leak into other tests
 
 
 @pytest.mark.slow

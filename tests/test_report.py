@@ -102,3 +102,43 @@ def test_predict_probs_matches_direct_forward():
         variables["batch_stats"] = state.batch_stats
     direct = jax.nn.softmax(model.apply(variables, x, train=False), axis=-1)
     np.testing.assert_allclose(probs[:4], np.asarray(direct), atol=1e-6)
+
+
+def test_report_cli_aggregates_runs(tmp_path, capsys):
+    """python -m convkan_tpu.report: run records from several training runs
+    aggregate into the reference's multi-model comparison artifacts
+    (final_plots + results table + all-models ROC, evaluations.py:263-400)."""
+    from convkan_tpu.report import build_report, main, save_run_record
+
+    classes = [f"c{i}" for i in range(4)]
+    for i, name in enumerate(["VGGKAN_A", "AlexNetKAN_B"]):
+        probs, targets = _fake_probs(seed=i)
+        history = {"train_loss": [1.0, 0.5], "test_loss": [1.1, 0.6],
+                   "accuracy": [0.4, 0.6 + 0.1 * i], "precision": [0.5],
+                   "recall": [0.5], "f1": [0.5], "epoch_min": [1.0]}
+        save_run_record(str(tmp_path), name, history, 1000 * (i + 1),
+                        probs, targets, classes, "CIFAR10")
+
+    info = main(["--results_dir", str(tmp_path)])
+    assert set(info["models"]) == {"VGGKAN_A", "AlexNetKAN_B"}
+    assert set(info["aucs"]) == {"VGGKAN_A", "AlexNetKAN_B"}
+    out = capsys.readouterr().out
+    assert "compared 2 model(s)" in out
+
+    csv = (tmp_path / "experiment_results.csv").read_text().splitlines()
+    assert len(csv) == 3  # header + one row per model
+    assert any(line.startswith("VGGKAN_A,") for line in csv)
+    assert any(line.startswith("AlexNetKAN_B,") for line in csv)
+    for f in ("loss_curves.png", "params_vs_accuracy.png",
+              "roc_curves.png", "experiment_results.html"):
+        assert (tmp_path / f).stat().st_size > 0
+
+    # records from a different dataset (different class set) are rejected
+    save_run_record(str(tmp_path), "MNISTKAN_C", history, 10,
+                    *_fake_probs(seed=2), ["d0", "d1", "d2", "d3"], "MNIST")
+    with pytest.raises(ValueError, match="same dataset"):
+        build_report(str(tmp_path))
+
+    # and an empty directory fails loudly with the workflow hint
+    with pytest.raises(FileNotFoundError, match="train at"):
+        build_report(str(tmp_path / "nowhere"))

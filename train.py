@@ -131,6 +131,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="clip gradients to this global L2 norm before the "
                         "optimizer update (torch clip_grad_norm_ "
                         "semantics; beyond-reference, default off)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="NaN/Inf tripwire (jax_debug_nans/_infs) — the "
+                        "reference's always-on "
+                        "torch.autograd.set_detect_anomaly(True) "
+                        "(train.py:431), opt-in here because it forces "
+                        "re-execution on failure")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of the run here "
+                        "(open with Perfetto/XProf); profile a SHORT "
+                        "--epoch schedule — the trace covers the whole "
+                        "train/eval loop")
     return p
 
 
@@ -304,6 +315,11 @@ def main(argv=None):
 
         set_perf_defaults(island_bf16=True)
 
+    if args.debug_nans:
+        from convkan_tpu.train.profiling import debug_nans
+
+        debug_nans(True)
+
     train_ds, test_ds, classes = get_datasets(
         args.dataset, args.data_path, synthetic=args.synthetic_data,
         synthetic_size=args.synthetic_size,
@@ -351,10 +367,20 @@ def main(argv=None):
             from convkan_tpu.parallel.halo import set_spatial_defaults
 
             prev_spatial = set_spatial_defaults(mesh, "spatial")
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile_dir:
+        from convkan_tpu.train.profiling import trace
+
+        profile_ctx = trace(args.profile_dir)
+        logger.info("profiling to %s (Perfetto/XProf)", args.profile_dir)
     try:
-        return _main_with_mesh(args, model, model_name, mesh, input_shape,
-                               num_classes, train_ds, test_ds,
-                               model_save_path, results_path, classes)
+        with profile_ctx:
+            return _main_with_mesh(args, model, model_name, mesh,
+                                   input_shape, num_classes, train_ds,
+                                   test_ds, model_save_path, results_path,
+                                   classes)
     finally:
         if prev_spatial is not None:
             from convkan_tpu.parallel.halo import set_spatial_defaults
@@ -457,10 +483,18 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
                       model_name, history)
     try:
         import jax as _jax
+        from convkan_tpu.report import save_run_record
         from convkan_tpu.train.plots import (final_plots, predict_probs,
                                              results_table, roc_all_models)
         n_params = sum(p.size for p in
                        _jax.tree_util.tree_leaves(state.params))
+        probs, targets = predict_probs(
+            model, state, test_ds, args.dataset, args.batch_size,
+            imagenet=getattr(test_ds, "imagenet", False))
+        # run record: feeds `python -m convkan_tpu.report` (the reference's
+        # multi-model final_plots/ROC comparison, evaluations.py:263-400)
+        save_run_record(results_path, model_name, history, n_params,
+                        probs, targets, classes, args.dataset)
         final_plots({model_name: history}, {model_name: n_params},
                     out_dir=results_path)
         # reference-schema summary table (evaluations.py:318-338): CSV +
@@ -468,9 +502,6 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
         results_table({model_name: history}, {model_name: n_params},
                       out_dir=results_path, use_time=True)
         # all-classes / all-models ROC figure (evaluations.py:342-400)
-        probs, targets = predict_probs(
-            model, state, test_ds, args.dataset, args.batch_size,
-            imagenet=getattr(test_ds, "imagenet", False))
         roc_all_models({model_name: (probs, targets)}, list(classes),
                        os.path.join(results_path, "roc_curves.png"))
     except Exception as e:  # plotting is best-effort (headless parity)
