@@ -44,10 +44,39 @@ def shard_params(params, mesh: Mesh, min_dim: int = 2):
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
 
 
-def state_shardings(state, mesh: Mesh, min_dim: int = 2):
+def _zero1_spec(x, data_size: int, model_size: int, min_dim: int) -> P:
+    """ZeRO-1 PartitionSpec for an optimizer-moment leaf: the largest
+    dimension divisible by the 'data' axis size carries 'data' (the TP
+    'model' rule stays on the last dim when it applies, so ZeRO-1 composes
+    with tensor parallelism).  Leaves with no divisible dim replicate."""
+    if not hasattr(x, "ndim") or x.ndim == 0:
+        return P()
+    spec = [None] * x.ndim
+    if (model_size > 1 and x.ndim >= 2 and x.shape[-1] >= min_dim
+            and x.shape[-1] % model_size == 0):
+        spec[-1] = "model"
+    for d in sorted(range(x.ndim), key=lambda d: -x.shape[d]):
+        if spec[d] is None and x.shape[d] and x.shape[d] % data_size == 0:
+            spec[d] = "data"
+            break
+    return P(*spec)
+
+
+def state_shardings(state, mesh: Mesh, min_dim: int = 2,
+                    zero1: bool = False):
     """NamedSharding pytree matching a TrainState: params + opt_state get
     the TP rules (optimizer moments share the param shapes), scalars and
-    batch stats replicate."""
+    batch stats replicate.
+
+    zero1=True additionally distributes the optimizer state (AdamW m/v
+    moments) over the 'data' axis — ZeRO-1: each data-parallel shard
+    stores 1/N of the moments, computes 1/N of the parameter update, and
+    XLA's SPMD partitioner inserts the reduce-scatter/all-gather pair
+    (gradients are consumed sharded, updated params are re-gathered to the
+    replicated spec).  Params/EMA stay whole — per-device optimizer memory
+    drops ~2x param bytes at N>=2 with no change to the math.  Built for
+    single-controller runs (the checkpoint snapshot path assumes fully
+    addressable arrays); multi-process ZeRO-1 is out of scope."""
     def to_sharding(spec_tree):
         return jax.tree_util.tree_map(
             lambda s: NamedSharding(mesh, s), spec_tree,
@@ -55,9 +84,13 @@ def state_shardings(state, mesh: Mesh, min_dim: int = 2):
 
     p_specs = param_partition_specs(state.params, mesh, min_dim)
     repl = NamedSharding(mesh, P())
-    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    model_size = sizes.get("model", 1)
+    data_size = sizes.get("data", 1)
 
     def opt_spec(x):
+        if zero1 and data_size > 1 and hasattr(x, "ndim"):
+            return _zero1_spec(x, data_size, model_size, min_dim)
         # same model_size<=1 guard as param_partition_specs: on a mesh
         # without a 'model' axis, P(..., 'model') would crash NamedSharding
         if model_size <= 1 or not hasattr(x, "ndim"):

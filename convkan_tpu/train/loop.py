@@ -368,7 +368,8 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                           label_smoothing: float = 0.0,
                           ema_decay: float = 0.0,
                           scheduler: str = "exponential",
-                          warmup_epochs: int = 0):
+                          warmup_epochs: int = 0,
+                          zero1: bool = False):
     """Epoch loop with best-checkpointing and early stopping
     (evaluations.py:156-247 parity).
 
@@ -383,18 +384,29 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
     per-epoch evaluation, best-model selection, and checkpoints then use
     the EMA weights, the standard EfficientNet/MobileNet serving recipe."""
     use_ema = ema_decay > 0 and state.ema_params is not None
+    # zero1: distribute the AdamW moments over the 'data' axis (ZeRO-1,
+    # parallel/sharding.state_shardings) — params stay replicated, XLA
+    # inserts the reduce-scatter/all-gather pair around the update
+    st_sh = None
+    if zero1 and mesh is not None:
+        from ..parallel.sharding import state_shardings as _state_shardings
+
+        st_sh = _state_shardings(state, mesh, zero1=True)
     train_step = make_train_step(model, dataset, train_ds.augment,
                                  l1_decay=l1_decay, mesh=mesh,
+                                 state_shardings=st_sh,
                                  imagenet=getattr(train_ds, "imagenet", False),
                                  grad_accum=grad_accum,
                                  label_smoothing=label_smoothing,
                                  ema_decay=ema_decay if use_ema else 0.0)
     eval_step = make_eval_step(model, dataset, num_classes, mesh=mesh,
                                imagenet=getattr(test_ds, "imagenet", False),
+                               state_shardings=st_sh,
                                use_ema=use_ema)
-    # NOTE: train_and_test_models runs dp-style (replicated params); TP
-    # callers build their own steps with state_shardings (see
-    # __graft_entry__.dryrun_multichip / tests/test_parallel.py).
+    # NOTE: train_and_test_models runs dp-style (replicated params) unless
+    # zero1 shards the optimizer state; TP callers build their own steps
+    # with state_shardings (see __graft_entry__.dryrun_multichip /
+    # tests/test_parallel.py).
 
     history = {k: [] for k in ["train_loss", "test_loss", "accuracy",
                                "precision", "recall", "f1", "lr",
@@ -409,6 +421,11 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
         history = extra.get("history", history)
         history.setdefault("epoch_min", [])  # pre-round-3 checkpoints
         logger.info("resumed from epoch %d", start_epoch)
+
+    if st_sh is not None:
+        # place the (fresh or restored) state onto the ZeRO-1 shardings up
+        # front, so the first donated train step isn't forced to reshard
+        state = jax.device_put(state, st_sh)
 
     rng = jax.random.PRNGKey(seed)
     # resumed so a preemption cannot reset the early-stopping window
@@ -567,10 +584,11 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
                         ema_decay: float = 0.0,
                         scheduler: str = "exponential",
                         warmup_epochs: int = 0,
-                        clip_grad_norm: float = 0.0):
+                        clip_grad_norm: float = 0.0,
+                        zero1: bool = False):
     """generic_train.py:18-53 parity: build optimizer/state and run the
     epoch loop; returns (state, history).  label_smoothing / ema_decay /
-    scheduler='cosine' / warmup_epochs / clip_grad_norm are opt-in
+    scheduler='cosine' / warmup_epochs / clip_grad_norm / zero1 are opt-in
     beyond-reference production knobs (defaults reproduce the reference
     recipe)."""
     model_name = model_name or getattr(model, "model_name", None) or type(model).__name__
@@ -597,7 +615,7 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
         model_name=model_name, resume=resume, learning_rate=learning_rate,
         gamma=gamma, patience=patience, grad_accum=grad_accum,
         label_smoothing=label_smoothing, ema_decay=ema_decay,
-        scheduler=scheduler, warmup_epochs=warmup_epochs)
+        scheduler=scheduler, warmup_epochs=warmup_epochs, zero1=zero1)
     total = time.perf_counter() - t0
     logger.info("total training time %.2f min (%.2f min/epoch)",
                 total / 60, total / 60 / max(epochs, 1))

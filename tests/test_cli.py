@@ -206,3 +206,26 @@ def test_cli_eval_only_ema_and_clip(tmp_path):
                                              abs=1e-5)
     assert out["accuracy"] == pytest.approx(float(last_row["accuracy"]),
                                             abs=1e-6)
+
+
+def test_cli_zero1_needs_data_axis():
+    """--zero1 without a multi-device data axis dies with a clear
+    SystemExit at setup."""
+    with pytest.raises(SystemExit, match="zero1"):
+        cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+                  "--dataset", "MNIST", "--synthetic_data",
+                  "--synthetic_size", "64", "--epoch", "1",
+                  "--batch_size", "32", "--mesh_data", "1", "--zero1"])
+
+
+@pytest.mark.slow
+def test_cli_main_zero1(tmp_path):
+    """--zero1: end-to-end training through the CLI with the optimizer
+    state sharded over the data axis."""
+    cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+              "--dataset", "CIFAR10", "--synthetic_data",
+              "--synthetic_size", "128", "--epoch", "1",
+              "--batch_size", "64", "--mesh_data", "8", "--zero1",
+              "--results_dir", str(tmp_path)])
+    import os
+    assert os.path.isdir(tmp_path / "CIFAR10" / "models")

@@ -224,3 +224,41 @@ def test_grad_accum_under_mesh():
         model, train_ds, test_ds, "CIFAR10", 10, batch_size=64, epochs=1,
         mesh=mesh, grad_accum=2)
     assert np.isfinite(history["train_loss"]).all()
+
+
+def test_zero1_full_loop_checkpoint_resume(tmp_path):
+    """zero1 through the WHOLE loop: epoch training with data-sharded
+    optimizer state, checkpointing the sharded state, and a --resume-style
+    restore that continues training; trajectory matches the non-zero1
+    mesh run."""
+    mesh = make_mesh()
+    train_ds, test_ds, _ = get_datasets("MNIST", synthetic=True,
+                                        synthetic_size=256)
+    model = MLP_KAN_FACTORY["FastKAN"]([784, 32, 10])
+
+    def run(zero1, path):
+        state, history = train_model_generic(
+            model, train_ds, test_ds, "MNIST", 10, batch_size=64, epochs=2,
+            mesh=mesh, zero1=zero1, path=path, model_name="z1")
+        return state, history
+
+    _, hist_ref = run(False, str(tmp_path / "ref"))
+    state, hist = run(True, str(tmp_path / "z1"))
+    np.testing.assert_allclose(hist["train_loss"], hist_ref["train_loss"],
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(hist["accuracy"], hist_ref["accuracy"])
+    # the trained state still carries data-sharded optimizer leaves
+    assert any(
+        hasattr(x, "sharding") and any(
+            "data" in (e if isinstance(e, tuple) else (e,))
+            for e in x.sharding.spec if e)
+        for x in jax.tree_util.tree_leaves(state.opt_state))
+
+    # resume from the zero1 checkpoint and train one more epoch
+    state2, hist2 = train_model_generic(
+        model, train_ds, test_ds, "MNIST", 10, batch_size=64, epochs=3,
+        mesh=mesh, zero1=True, path=str(tmp_path / "z1"), model_name="z1",
+        resume=True)
+    assert len(hist2["train_loss"]) == 3
+    assert hist2["train_loss"][:2] == hist["train_loss"]
+    assert np.isfinite(hist2["train_loss"]).all()

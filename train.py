@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(halo-exchange convs, parallel/halo.py) — for "
                         "inputs too large for one chip; composes with "
                         "--mesh_data (data x spatial devices total)")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard the AdamW optimizer state over the 'data' "
+                        "mesh axis (ZeRO-1: each shard stores 1/N of the "
+                        "moments and computes 1/N of the update; params "
+                        "stay replicated) — cuts per-device optimizer "
+                        "memory ~2x param bytes; needs --mesh_data > 1")
     p.add_argument("--patience", type=float, default=float("inf"),
                    help="early-stopping patience in epochs (reference "
                         "default: inf, evaluations.py:156)")
@@ -367,6 +373,14 @@ def main(argv=None):
             from convkan_tpu.parallel.halo import set_spatial_defaults
 
             prev_spatial = set_spatial_defaults(mesh, "spatial")
+    if args.zero1:
+        data_axis = (dict(zip(mesh.axis_names, mesh.devices.shape))
+                     .get("data", 1) if mesh is not None else 1)
+        if data_axis <= 1:
+            raise SystemExit(
+                "--zero1 shards the optimizer state over the 'data' mesh "
+                "axis, which needs more than one data-parallel device — "
+                "run with --mesh_data N (N > 1)")
     import contextlib
 
     profile_ctx = contextlib.nullcontext()
@@ -470,7 +484,7 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
             patience=args.patience, grad_accum=args.grad_accum,
             label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
             scheduler=args.scheduler, warmup_epochs=args.warmup_epochs,
-            clip_grad_norm=args.clip_grad_norm)
+            clip_grad_norm=args.clip_grad_norm, zero1=args.zero1)
     except TrainingPreempted as e:
         # SIGTERM arrived (cloud preemption notice): a resumable 'last'
         # checkpoint was saved.  EX_TEMPFAIL tells the supervisor
