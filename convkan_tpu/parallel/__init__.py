@@ -1,1 +1,4 @@
 from .mesh import make_mesh, data_sharding, replicate  # noqa: F401
+from .pipeline import (  # noqa: F401
+    PipelinedKanMLP, gpipe_apply, make_pipeline_mesh,
+    pipeline_state_shardings)
