@@ -23,7 +23,9 @@ Covers:
                                replicated (reduce-scatter/all-gather by
                                XLA);
   7. pipeline parallelism    — a deep KAN-MLP trunk's stacked stages over
-                               a 'pipe' axis, GPipe scan+ppermute.
+                               a 'pipe' axis, GPipe scan+ppermute;
+  8. expert parallelism      — a mixture-of-KAN-experts layer, top-1
+                               routed, experts sharded over 'expert'.
 """
 
 import os
@@ -183,6 +185,27 @@ def pipeline_parallel():
           f"{err:.2e}")
 
 
+def expert_parallel():
+    """GShard-style MoE: 4 ChebyKAN experts sharded over a 4-wide
+    'expert' axis; the unsharded dense-dispatch run is the oracle."""
+    from convkan_tpu.parallel.moe import (
+        KanMoE, expert_state_shardings, make_expert_mesh)
+
+    mesh = make_expert_mesh(expert=4, data=2)
+    kw = dict(family="ChebyKAN", in_dim=64, out_dim=10, n_experts=4)
+    dense, moe = KanMoE(**kw), KanMoE(**kw, mesh=mesh)
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 64))
+    v = dense.init(jax.random.PRNGKey(1), x, train=False)
+    y_dense = dense.apply(v, x, train=False)
+    params = jax.device_put(v["params"],
+                            expert_state_shardings(v["params"], mesh))
+    y_moe = jax.jit(
+        lambda p, x: moe.apply({"params": p}, x, train=False))(params, x)
+    err = float(jnp.max(jnp.abs(y_moe - y_dense)))
+    print(f"8. expert parallel (4 experts):  max |sharded - dense| = "
+          f"{err:.2e}")
+
+
 if __name__ == "__main__":
     model, _ = data_parallel()
     tensor_parallel(model)
@@ -191,4 +214,5 @@ if __name__ == "__main__":
     multislice()
     zero1(model)
     pipeline_parallel()
+    expert_parallel()
     print("done.")
