@@ -172,6 +172,12 @@ class MoEKanMLP(nn.Module):
     mesh: Optional[Mesh] = None
     expert_axis: str = "expert"
 
+    @property
+    def model_name(self) -> str:
+        # the reference's `model.name` checkpoint-naming contract
+        return (f"MoEKanMLP_{self.family.upper()}_e{self.n_experts}"
+                f"x{self.n_blocks}_h{self.hidden}")
+
     @nn.compact
     def __call__(self, x, train: bool = True):
         from ..nn.mlp import _build_layer

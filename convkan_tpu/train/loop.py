@@ -369,7 +369,8 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                           ema_decay: float = 0.0,
                           scheduler: str = "exponential",
                           warmup_epochs: int = 0,
-                          zero1: bool = False):
+                          zero1: bool = False,
+                          expert_parallel: bool = False):
     """Epoch loop with best-checkpointing and early stopping
     (evaluations.py:156-247 parity).
 
@@ -388,10 +389,22 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
     # parallel/sharding.state_shardings) — params stay replicated, XLA
     # inserts the reduce-scatter/all-gather pair around the update
     st_sh = None
+    if zero1 and expert_parallel:
+        raise ValueError(
+            "zero1 and expert_parallel pick different optimizer-state "
+            "shardings — enable one at a time")
     if zero1 and mesh is not None:
         from ..parallel.sharding import state_shardings as _state_shardings
 
         st_sh = _state_shardings(state, mesh, zero1=True)
+    if (expert_parallel and mesh is not None
+            and dict(zip(mesh.axis_names,
+                         mesh.devices.shape)).get("expert", 1) > 1):
+        # expert parallelism: MoE 'experts' param stacks (and their
+        # optimizer moments / EMA mirrors) shard over the 'expert' axis
+        from ..parallel.moe import expert_state_shardings
+
+        st_sh = expert_state_shardings(state, mesh)
     train_step = make_train_step(model, dataset, train_ds.augment,
                                  l1_decay=l1_decay, mesh=mesh,
                                  state_shardings=st_sh,
@@ -585,12 +598,13 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
                         scheduler: str = "exponential",
                         warmup_epochs: int = 0,
                         clip_grad_norm: float = 0.0,
-                        zero1: bool = False):
+                        zero1: bool = False,
+                        expert_parallel: bool = False):
     """generic_train.py:18-53 parity: build optimizer/state and run the
     epoch loop; returns (state, history).  label_smoothing / ema_decay /
-    scheduler='cosine' / warmup_epochs / clip_grad_norm / zero1 are opt-in
-    beyond-reference production knobs (defaults reproduce the reference
-    recipe)."""
+    scheduler='cosine' / warmup_epochs / clip_grad_norm / zero1 /
+    expert_parallel are opt-in beyond-reference production knobs
+    (defaults reproduce the reference recipe)."""
     model_name = model_name or getattr(model, "model_name", None) or type(model).__name__
     if sample_input is None:
         if getattr(train_ds, "imagenet", False):
@@ -615,7 +629,8 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
         model_name=model_name, resume=resume, learning_rate=learning_rate,
         gamma=gamma, patience=patience, grad_accum=grad_accum,
         label_smoothing=label_smoothing, ema_decay=ema_decay,
-        scheduler=scheduler, warmup_epochs=warmup_epochs, zero1=zero1)
+        scheduler=scheduler, warmup_epochs=warmup_epochs, zero1=zero1,
+        expert_parallel=expert_parallel)
     total = time.perf_counter() - t0
     logger.info("total training time %.2f min (%.2f min/epoch)",
                 total / 60, total / 60 / max(epochs, 1))

@@ -25,6 +25,8 @@ CASES = [
      "--classifier_type", "HiddenKAN"],
     ["--model", "EfficientNetV2KAN", "--arch", "s",
      "--norm_layer", "InstanceNorm2d", "--norm_affine"],
+    ["--model", "MoEKanMLP", "--kan_classifier", "ChebyKAN",
+     "--moe_experts", "8", "--moe_blocks", "1"],
 ]
 
 
@@ -206,6 +208,36 @@ def test_cli_eval_only_ema_and_clip(tmp_path):
                                              abs=1e-5)
     assert out["accuracy"] == pytest.approx(float(last_row["accuracy"]),
                                             abs=1e-6)
+
+
+def test_cli_mesh_expert_validation():
+    """--mesh_expert: MoEKanMLP-only, must divide --moe_experts, and is
+    exclusive with --zero1."""
+    base = ["--dataset", "MNIST", "--synthetic_data", "--synthetic_size",
+            "64", "--epoch", "1", "--batch_size", "32"]
+    with pytest.raises(SystemExit, match="MoEKanMLP only"):
+        cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+                  "--mesh_expert", "2"] + base)
+    with pytest.raises(SystemExit, match="divide"):
+        cli.main(["--model", "MoEKanMLP", "--moe_experts", "3",
+                  "--mesh_expert", "2"] + base)
+    with pytest.raises(SystemExit, match="exclusive"):
+        cli.main(["--model", "MoEKanMLP", "--mesh_expert", "2",
+                  "--mesh_data", "2", "--zero1"] + base)
+
+
+def test_cli_main_moe_expert_parallel(tmp_path):
+    """MoEKanMLP end-to-end through the CLI with experts sharded over a
+    2-wide 'expert' axis (x4 data)."""
+    import os
+    cli.main(["--model", "MoEKanMLP", "--kan_classifier", "ChebyKAN",
+              "--moe_experts", "4", "--moe_blocks", "1",
+              "--moe_hidden", "32", "--dataset", "MNIST",
+              "--synthetic_data", "--synthetic_size", "128",
+              "--epoch", "1", "--batch_size", "64",
+              "--mesh_data", "4", "--mesh_expert", "2",
+              "--results_dir", str(tmp_path)])
+    assert os.path.isdir(tmp_path / "MNIST" / "models")
 
 
 def test_cli_zero1_needs_data_axis():

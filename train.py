@@ -24,7 +24,10 @@ ACT_CHOICES = ["gelu", "silu", "relu", "leakyrelu", "prelu", "tanh",
 
 MODEL_CHOICES = ["VGGKAN", "FlexibleAlexNet", "EfficientNetKAN",
                  "EfficientNetV2KAN", "AlexNetKAN", "MobileNetV2KAN",
-                 "MobileNetV1KAN", "MobileNetV3KAN"]
+                 "MobileNetV1KAN", "MobileNetV3KAN",
+                 # beyond-reference: sparse mixture-of-KAN-experts MLP
+                 # (parallel/moe.py), expert-parallel via --mesh_expert
+                 "MoEKanMLP"]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -94,6 +97,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "(halo-exchange convs, parallel/halo.py) — for "
                         "inputs too large for one chip; composes with "
                         "--mesh_data (data x spatial devices total)")
+    p.add_argument("--mesh_expert", type=int, default=1,
+                   help="expert-parallel devices: shard MoEKanMLP's "
+                        "expert stacks (and their optimizer moments) over "
+                        "an 'expert' mesh axis (parallel/moe.py; must "
+                        "divide --moe_experts); composes with --mesh_data "
+                        "(data x expert devices total)")
+    p.add_argument("--moe_experts", type=int, default=4,
+                   help="MoEKanMLP: experts per MoE block")
+    p.add_argument("--moe_blocks", type=int, default=2,
+                   help="MoEKanMLP: number of residual MoE blocks")
+    p.add_argument("--moe_hidden", type=int, default=64,
+                   help="MoEKanMLP: hidden width")
+    p.add_argument("--moe_capacity_factor", type=float, default=1.25,
+                   help="MoEKanMLP: expert buffer = ceil(tokens/E * this);"
+                        " overflow tokens are dropped (Switch semantics)")
+    p.add_argument("--moe_aux_weight", type=float, default=1e-2,
+                   help="MoEKanMLP: weight of the load-balance aux loss")
     p.add_argument("--zero1", action="store_true",
                    help="shard the AdamW optimizer state over the 'data' "
                         "mesh axis (ZeRO-1: each shard stores 1/N of the "
@@ -151,7 +171,7 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def build_model(args, input_shape, num_classes):
+def build_model(args, input_shape, num_classes, expert_mesh=None):
     from convkan_tpu.models import (
         alexnet_kan, efficientnet_kan, efficientnet_kan_small,
         efficientnetv2_kan, efficientnetv2_kan_small, mobilenet_v1_kan,
@@ -275,6 +295,23 @@ def build_model(args, input_shape, num_classes):
             l1_decay=args.l1_decay, grid_size=args.grid_size,
             spline_order=args.spline_order,
             conv_dropout=args.dropout_conv, **common_cls)
+    if args.model == "MoEKanMLP":
+        from convkan_tpu.parallel.moe import MoEKanMLP
+
+        h, w, c = input_shape
+        family = args.kan_classifier or "ChebyKAN"
+        return MoEKanMLP(
+            family=family, in_dim=h * w * c, hidden=args.moe_hidden,
+            num_classes=num_classes, n_experts=args.moe_experts,
+            n_blocks=args.moe_blocks,
+            capacity_factor=args.moe_capacity_factor,
+            aux_weight=args.moe_aux_weight,
+            cfg={k: v for k, v in
+                 {"degree": args.classifier_degree,
+                  "grid_size": args.classifier_grid_size,
+                  "spline_order": args.classifier_spline_order}.items()
+                 if v is not None},
+            mesh=expert_mesh)
     raise SystemExit(f"Model {args.model!r} not recognized")
 
 
@@ -337,15 +374,43 @@ def main(argv=None):
         h, w, c = train_ds.images.shape[1:]
         input_shape = (h, w, c)
 
-    model = build_model(args, input_shape, num_classes)
+    n_dev = len(jax.devices())
+    expert_mesh = None
+    if args.mesh_expert > 1:
+        if args.model != "MoEKanMLP":
+            raise SystemExit(
+                "--mesh_expert shards MoE expert stacks — it applies to "
+                "--model MoEKanMLP only")
+        if args.moe_experts % args.mesh_expert:
+            raise SystemExit(
+                f"--mesh_expert {args.mesh_expert} must divide "
+                f"--moe_experts {args.moe_experts}")
+        if args.mesh_spatial > 1 or args.zero1:
+            raise SystemExit(
+                "--mesh_expert is exclusive with --mesh_spatial/--zero1")
+        from convkan_tpu.parallel.moe import make_expert_mesh
+
+        data = args.mesh_data or max(n_dev // args.mesh_expert, 1)
+        if data * args.mesh_expert > n_dev:
+            raise SystemExit(
+                f"--mesh_data {data} x --mesh_expert {args.mesh_expert} "
+                f"needs {data * args.mesh_expert} devices; have {n_dev}")
+        expert_mesh = make_expert_mesh(
+            expert=args.mesh_expert, data=data,
+            devices=jax.devices()[:data * args.mesh_expert])
+
+    model = build_model(args, input_shape, num_classes,
+                        expert_mesh=expert_mesh)
     model_name = getattr(model, "model_name", type(model).__name__)
     logger.info("Instantiated model '%s'", model_name)
 
-    n_dev = len(jax.devices())
     mesh = None
     prev_spatial = None
     spatial = max(args.mesh_spatial, 1)
-    if spatial > 1 or (args.mesh_data or n_dev) > 1:
+    if expert_mesh is not None:
+        mesh = expert_mesh
+        logger.info("mesh: %s", mesh)
+    elif spatial > 1 or (args.mesh_data or n_dev) > 1:
         data = args.mesh_data or n_dev // spatial
         if data < 1 or data * spatial > n_dev:
             raise SystemExit(
@@ -484,7 +549,8 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
             patience=args.patience, grad_accum=args.grad_accum,
             label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
             scheduler=args.scheduler, warmup_epochs=args.warmup_epochs,
-            clip_grad_norm=args.clip_grad_norm, zero1=args.zero1)
+            clip_grad_norm=args.clip_grad_norm, zero1=args.zero1,
+            expert_parallel=args.mesh_expert > 1)
     except TrainingPreempted as e:
         # SIGTERM arrived (cloud preemption notice): a resumable 'last'
         # checkpoint was saved.  EX_TEMPFAIL tells the supervisor
