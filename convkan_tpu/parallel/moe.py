@@ -30,7 +30,6 @@ from typing import Any, Mapping, Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -38,32 +37,19 @@ def make_expert_mesh(expert: int, data: Optional[int] = None,
                      devices: Optional[Sequence] = None) -> Mesh:
     """A ('data', 'expert') mesh: batch over 'data', experts over
     'expert'."""
-    devices = list(devices if devices is not None else jax.devices())
-    n = len(devices)
-    if data is None:
-        assert n % expert == 0, f"{n} devices not divisible by expert={expert}"
-        data = n // expert
-    assert data * expert == n, f"{data}x{expert} != {n} devices"
-    return Mesh(np.asarray(devices).reshape(data, expert),
-                ("data", "expert"))
+    from .sharding import make_stacked_axis_mesh
+
+    return make_stacked_axis_mesh("expert", expert, data=data,
+                                  devices=devices)
 
 
 def expert_state_shardings(tree, mesh: Mesh, expert_axis: str = "expert"):
     """NamedSharding pytree: every leaf on a path through an 'experts' key
     shards its leading expert axis over `expert_axis` (params and the
     optimizer moments that mirror them); everything else replicates."""
-    width = mesh.shape[expert_axis]
+    from .sharding import stacked_state_shardings
 
-    def spec(path, x):
-        on_experts = any(
-            getattr(k, "key", getattr(k, "name", None)) == "experts"
-            for k in path)
-        if (on_experts and hasattr(x, "ndim") and x.ndim >= 1
-                and x.shape[0] % width == 0):
-            return NamedSharding(mesh, P(expert_axis))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map_with_path(spec, tree)
+    return stacked_state_shardings(tree, mesh, expert_axis, "experts")
 
 
 class KanMoE(nn.Module):
@@ -74,7 +60,18 @@ class KanMoE(nn.Module):
     ceil(tokens/E · factor); overflow tokens are dropped (zero output).
     With `mesh=None` the same dense-dispatch math runs unsharded — the
     numerical oracle for the expert-parallel tests (the dispatch einsums
-    are sharding-invariant, so the two agree exactly)."""
+    are sharding-invariant, so the two agree exactly).
+
+    Serving note: whenever the capacity bound binds, a Switch layer's
+    per-token output depends on the rest of the batch (which tokens claim
+    slots first).  The HTTP engine's padding and dynamic batching change
+    that composition — padded rows append AFTER real rows and raise the
+    cap (cap = ceil(B/E·factor)), so they never evict a real token, but
+    they can *rescue* one that an unpadded batch would have dropped, and
+    coalesced concurrent requests shift slot order — so the same input
+    can return different logits under different traffic.  For
+    deterministic serving raise `capacity_factor` (≥ E guarantees no
+    token ever drops, at E× the layer's activation memory)."""
 
     family: str
     in_dim: int
@@ -118,10 +115,11 @@ class KanMoE(nn.Module):
         # the batch — deterministic, order-dependent like the reference
         # Switch implementation); tokens past capacity are dropped
         pos = jnp.cumsum(onehot, axis=0) * onehot           # 1-based, [B, E]
-        keep = (pos > 0) & (pos <= cap)
-        slot = jax.nn.one_hot(pos.astype(jnp.int32) - 1, cap,
-                              dtype=x.dtype)                # [B, E, C]
-        dispatch = slot * keep.astype(x.dtype)[..., None]   # [B, E, C]
+        # one_hot is zero outside [0, cap): pos=0 (not routed here) maps to
+        # index -1 and pos>cap (overflow) to index>=cap, both all-zero rows
+        # — the capacity drop falls out of the one_hot bounds
+        dispatch = jax.nn.one_hot(pos.astype(jnp.int32) - 1, cap,
+                                  dtype=x.dtype)            # [B, E, C]
 
         xin = jnp.einsum("bec,bd->ecd", dispatch, x)        # [E, C, din]
         if self.mesh is not None:

@@ -37,8 +37,7 @@ from typing import Any, Mapping, Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .mesh import batch_axes
 
@@ -46,13 +45,9 @@ from .mesh import batch_axes
 def make_pipeline_mesh(pipe: int, data: Optional[int] = None,
                        devices: Optional[Sequence] = None) -> Mesh:
     """A ('data', 'pipe') mesh: batch over 'data', stages over 'pipe'."""
-    devices = list(devices if devices is not None else jax.devices())
-    n = len(devices)
-    if data is None:
-        assert n % pipe == 0, f"{n} devices not divisible by pipe={pipe}"
-        data = n // pipe
-    assert data * pipe == n, f"{data}x{pipe} != {n} devices"
-    return Mesh(np.asarray(devices).reshape(data, pipe), ("data", "pipe"))
+    from .sharding import make_stacked_axis_mesh
+
+    return make_stacked_axis_mesh("pipe", pipe, data=data, devices=devices)
 
 
 def gpipe_apply(stage_fn, stacked_params, x, *, mesh: Mesh,
@@ -122,18 +117,9 @@ def pipeline_state_shardings(tree, mesh: Mesh, pipe_axis: str = "pipe"):
     PipelinedKanMLP: every leaf on a path through a 'stages' key shards
     its leading stage axis over `pipe_axis` (params AND the optimizer
     moments, which mirror the param paths); everything else replicates."""
-    pipe = mesh.shape[pipe_axis]
+    from .sharding import stacked_state_shardings
 
-    def spec(path, x):
-        on_stages = any(
-            getattr(k, "key", getattr(k, "name", None)) == "stages"
-            for k in path)
-        if (on_stages and hasattr(x, "ndim") and x.ndim >= 1
-                and x.shape[0] % pipe == 0):
-            return NamedSharding(mesh, P(pipe_axis))
-        return NamedSharding(mesh, P())
-
-    return jax.tree_util.tree_map_with_path(spec, tree)
+    return stacked_state_shardings(tree, mesh, pipe_axis, "stages")
 
 
 class PipelinedKanMLP(nn.Module):

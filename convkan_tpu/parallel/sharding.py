@@ -28,6 +28,43 @@ def _spec_for(x, model_size: int, min_dim: int = 2) -> P:
     return P()
 
 
+def make_stacked_axis_mesh(axis: str, size: int, data=None, devices=None):
+    """A ('data', <axis>) mesh — shared builder behind
+    pipeline.make_pipeline_mesh and moe.make_expert_mesh: batch shards
+    over 'data', the stacked leading param axis over `axis`."""
+    import numpy as np
+
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % size == 0, f"{n} devices not divisible by {axis}={size}"
+        data = n // size
+    assert data * size == n, f"{data}x{size} != {n} devices"
+    return Mesh(np.asarray(devices).reshape(data, size), ("data", axis))
+
+
+def stacked_state_shardings(tree, mesh: Mesh, axis: str, path_key: str):
+    """NamedSharding pytree for any pytree (params, optimizer state, a
+    whole TrainState): every leaf on a path through `path_key` shards its
+    leading stacked axis over `axis` (optimizer moments and EMA mirrors
+    share the param paths, so they shard identically); everything else
+    replicates.  Shared walk behind pipeline.pipeline_state_shardings
+    ('stages'/'pipe') and moe.expert_state_shardings ('experts'/
+    'expert')."""
+    width = mesh.shape[axis]
+
+    def spec(path, x):
+        on_key = any(
+            getattr(k, "key", getattr(k, "name", None)) == path_key
+            for k in path)
+        if (on_key and hasattr(x, "ndim") and x.ndim >= 1
+                and x.shape[0] % width == 0):
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
 def param_partition_specs(params, mesh: Mesh, min_dim: int = 2):
     """PartitionSpec pytree for a params tree: output-channel TP."""
     model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get("model", 1)

@@ -393,7 +393,15 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
         raise ValueError(
             "zero1 and expert_parallel pick different optimizer-state "
             "shardings — enable one at a time")
-    if zero1 and mesh is not None:
+    if zero1:
+        data_ax = (dict(zip(mesh.axis_names, mesh.devices.shape))
+                   .get("data", 1) if mesh is not None else 1)
+        if data_ax <= 1:
+            # fail loudly rather than silently training unsharded — the
+            # caller asked for optimizer memory that won't materialize
+            raise ValueError(
+                "zero1=True needs a mesh with a >1-wide 'data' axis to "
+                "shard the optimizer state over")
         from ..parallel.sharding import state_shardings as _state_shardings
 
         st_sh = _state_shardings(state, mesh, zero1=True)

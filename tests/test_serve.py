@@ -269,6 +269,36 @@ def test_serve_cli_build_engine():
         engine.close()
 
 
+def test_serve_cli_builds_moe_model():
+    """The beyond-reference MoEKanMLP serves through the same CLI path:
+    routing/capacity/residual under the bucketed jitted forward."""
+    from convkan_tpu.migrate import _load_train_module
+    from convkan_tpu.serve import build_engine
+
+    train = _load_train_module()
+    p = train.build_parser()
+    p.add_argument("--kind", default="best")
+    p.add_argument("--ckpt_name", default=None)
+    p.add_argument("--init_random", action="store_true")
+    p.add_argument("--fold_bn", action="store_true")
+    p.add_argument("--bn_eps", type=float, default=1e-5)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--buckets", default="1,8,64")
+    p.add_argument("--batch_timeout_ms", type=float, default=2.0)
+    args = p.parse_args(["--model", "MoEKanMLP", "--kan_classifier",
+                         "ChebyKAN", "--moe_hidden", "32",
+                         "--moe_blocks", "1", "--dataset", "MNIST",
+                         "--init_random", "--buckets", "1,4"])
+    engine, name = build_engine(args, train)
+    try:
+        y = engine.predict(np.random.RandomState(0).randint(
+            0, 256, (3, 28, 28, 1), dtype=np.uint8))
+        assert y.shape == (3, 10) and np.isfinite(y).all()
+        assert "MoEKanMLP" in name
+    finally:
+        engine.close()
+
+
 def test_mesh_serving_matches_single_device():
     """Multi-chip serving: batch sharded over the data mesh produces the
     same logits as the unsharded engine, and uneven buckets are

@@ -392,9 +392,18 @@ def main(argv=None):
 
         data = args.mesh_data or max(n_dev // args.mesh_expert, 1)
         if data * args.mesh_expert > n_dev:
+            data_src = (str(args.mesh_data) if args.mesh_data
+                        else f"(derived: {data})")
             raise SystemExit(
-                f"--mesh_data {data} x --mesh_expert {args.mesh_expert} "
-                f"needs {data * args.mesh_expert} devices; have {n_dev}")
+                f"--mesh_data {data_src} x "
+                f"--mesh_expert {args.mesh_expert} needs "
+                f"{data * args.mesh_expert} devices; have {n_dev}")
+        if data * args.mesh_expert < n_dev:
+            logger.warning(
+                "mesh uses %d of %d devices (%d idle) — pick --mesh_data/"
+                "--mesh_expert that multiply to the device count to use "
+                "all of them", data * args.mesh_expert, n_dev,
+                n_dev - data * args.mesh_expert)
         expert_mesh = make_expert_mesh(
             expert=args.mesh_expert, data=data,
             devices=jax.devices()[:data * args.mesh_expert])
