@@ -144,6 +144,12 @@ class PipelinedKanMLP(nn.Module):
     pipe_axis: str = "pipe"
     n_microbatches: int = 0  # 0 -> the mesh's pipe size
 
+    @property
+    def model_name(self) -> str:
+        # the reference's `model.name` checkpoint-naming contract
+        return (f"PipelinedKanMLP_{self.family.upper()}"
+                f"_s{self.n_stages}_h{self.hidden}")
+
     @nn.compact
     def __call__(self, x, train: bool = True):
         from ..nn.mlp import _build_layer

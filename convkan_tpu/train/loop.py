@@ -370,7 +370,8 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                           scheduler: str = "exponential",
                           warmup_epochs: int = 0,
                           zero1: bool = False,
-                          expert_parallel: bool = False):
+                          expert_parallel: bool = False,
+                          pipeline_parallel: bool = False):
     """Epoch loop with best-checkpointing and early stopping
     (evaluations.py:156-247 parity).
 
@@ -389,10 +390,10 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
     # parallel/sharding.state_shardings) — params stay replicated, XLA
     # inserts the reduce-scatter/all-gather pair around the update
     st_sh = None
-    if zero1 and expert_parallel:
+    if zero1 + expert_parallel + pipeline_parallel > 1:
         raise ValueError(
-            "zero1 and expert_parallel pick different optimizer-state "
-            "shardings — enable one at a time")
+            "zero1 / expert_parallel / pipeline_parallel pick different "
+            "optimizer-state shardings — enable one at a time")
     if zero1:
         data_ax = (dict(zip(mesh.axis_names, mesh.devices.shape))
                    .get("data", 1) if mesh is not None else 1)
@@ -413,6 +414,14 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
         from ..parallel.moe import expert_state_shardings
 
         st_sh = expert_state_shardings(state, mesh)
+    if (pipeline_parallel and mesh is not None
+            and dict(zip(mesh.axis_names,
+                         mesh.devices.shape)).get("pipe", 1) > 1):
+        # pipeline parallelism: the 'stages' param stack (and its
+        # optimizer moments / EMA mirrors) shards over the 'pipe' axis
+        from ..parallel.pipeline import pipeline_state_shardings
+
+        st_sh = pipeline_state_shardings(state, mesh)
     train_step = make_train_step(model, dataset, train_ds.augment,
                                  l1_decay=l1_decay, mesh=mesh,
                                  state_shardings=st_sh,
@@ -607,12 +616,13 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
                         warmup_epochs: int = 0,
                         clip_grad_norm: float = 0.0,
                         zero1: bool = False,
-                        expert_parallel: bool = False):
+                        expert_parallel: bool = False,
+                        pipeline_parallel: bool = False):
     """generic_train.py:18-53 parity: build optimizer/state and run the
     epoch loop; returns (state, history).  label_smoothing / ema_decay /
     scheduler='cosine' / warmup_epochs / clip_grad_norm / zero1 /
-    expert_parallel are opt-in beyond-reference production knobs
-    (defaults reproduce the reference recipe)."""
+    expert_parallel / pipeline_parallel are opt-in beyond-reference
+    production knobs (defaults reproduce the reference recipe)."""
     model_name = model_name or getattr(model, "model_name", None) or type(model).__name__
     if sample_input is None:
         if getattr(train_ds, "imagenet", False):
@@ -638,7 +648,8 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
         gamma=gamma, patience=patience, grad_accum=grad_accum,
         label_smoothing=label_smoothing, ema_decay=ema_decay,
         scheduler=scheduler, warmup_epochs=warmup_epochs, zero1=zero1,
-        expert_parallel=expert_parallel)
+        expert_parallel=expert_parallel,
+        pipeline_parallel=pipeline_parallel)
     total = time.perf_counter() - t0
     logger.info("total training time %.2f min (%.2f min/epoch)",
                 total / 60, total / 60 / max(epochs, 1))

@@ -27,6 +27,8 @@ CASES = [
      "--norm_layer", "InstanceNorm2d", "--norm_affine"],
     ["--model", "MoEKanMLP", "--kan_classifier", "ChebyKAN",
      "--moe_experts", "8", "--moe_blocks", "1"],
+    ["--model", "PipelinedKanMLP", "--kan_classifier", "FastKAN",
+     "--pipe_stages", "6", "--pipe_hidden", "32"],
 ]
 
 
@@ -236,6 +238,37 @@ def test_cli_main_moe_expert_parallel(tmp_path):
               "--synthetic_data", "--synthetic_size", "128",
               "--epoch", "1", "--batch_size", "64",
               "--mesh_data", "4", "--mesh_expert", "2",
+              "--results_dir", str(tmp_path)])
+    assert os.path.isdir(tmp_path / "MNIST" / "models")
+
+
+def test_cli_mesh_pipe_validation():
+    """--mesh_pipe: PipelinedKanMLP-only, must divide --pipe_stages, and
+    the per-data-shard batch must split into the GPipe microbatches."""
+    base = ["--dataset", "MNIST", "--synthetic_data", "--synthetic_size",
+            "64", "--epoch", "1", "--batch_size", "32"]
+    with pytest.raises(SystemExit, match="PipelinedKanMLP only"):
+        cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+                  "--mesh_pipe", "2"] + base)
+    with pytest.raises(SystemExit, match="divide"):
+        cli.main(["--model", "PipelinedKanMLP", "--pipe_stages", "3",
+                  "--mesh_pipe", "2"] + base)
+    with pytest.raises(SystemExit, match="microbatches"):
+        cli.main(["--model", "PipelinedKanMLP", "--pipe_stages", "4",
+                  "--mesh_pipe", "4", "--mesh_data", "2",
+                  "--pipe_microbatches", "7"] + base)
+
+
+def test_cli_main_pipeline_parallel(tmp_path):
+    """PipelinedKanMLP end-to-end through the CLI: 4 stages GPipe-
+    scheduled over a 2-wide 'pipe' axis (x4 data), stage params and
+    moments sharded."""
+    import os
+    cli.main(["--model", "PipelinedKanMLP", "--kan_classifier", "ChebyKAN",
+              "--pipe_stages", "4", "--pipe_hidden", "32",
+              "--dataset", "MNIST", "--synthetic_data",
+              "--synthetic_size", "128", "--epoch", "1",
+              "--batch_size", "64", "--mesh_data", "4", "--mesh_pipe", "2",
               "--results_dir", str(tmp_path)])
     assert os.path.isdir(tmp_path / "MNIST" / "models")
 

@@ -27,7 +27,10 @@ MODEL_CHOICES = ["VGGKAN", "FlexibleAlexNet", "EfficientNetKAN",
                  "MobileNetV1KAN", "MobileNetV3KAN",
                  # beyond-reference: sparse mixture-of-KAN-experts MLP
                  # (parallel/moe.py), expert-parallel via --mesh_expert
-                 "MoEKanMLP"]
+                 "MoEKanMLP",
+                 # beyond-reference: deep stage-stacked KAN MLP
+                 # (parallel/pipeline.py), GPipe via --mesh_pipe
+                 "PipelinedKanMLP"]
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -114,6 +117,20 @@ def build_parser() -> argparse.ArgumentParser:
                         " overflow tokens are dropped (Switch semantics)")
     p.add_argument("--moe_aux_weight", type=float, default=1e-2,
                    help="MoEKanMLP: weight of the load-balance aux loss")
+    p.add_argument("--mesh_pipe", type=int, default=1,
+                   help="pipeline-parallel devices: run PipelinedKanMLP's "
+                        "stage-stacked trunk as a GPipe scan+ppermute "
+                        "schedule over a 'pipe' mesh axis "
+                        "(parallel/pipeline.py; must divide "
+                        "--pipe_stages); composes with --mesh_data")
+    p.add_argument("--pipe_stages", type=int, default=4,
+                   help="PipelinedKanMLP: identical hidden->hidden stages")
+    p.add_argument("--pipe_hidden", type=int, default=64,
+                   help="PipelinedKanMLP: hidden width")
+    p.add_argument("--pipe_microbatches", type=int, default=0,
+                   help="PipelinedKanMLP: GPipe microbatches per step "
+                        "(0 = the pipe width); must divide the per-"
+                        "data-shard batch")
     p.add_argument("--zero1", action="store_true",
                    help="shard the AdamW optimizer state over the 'data' "
                         "mesh axis (ZeRO-1: each shard stores 1/N of the "
@@ -171,7 +188,8 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def build_model(args, input_shape, num_classes, expert_mesh=None):
+def build_model(args, input_shape, num_classes, expert_mesh=None,
+                pipe_mesh=None):
     from convkan_tpu.models import (
         alexnet_kan, efficientnet_kan, efficientnet_kan_small,
         efficientnetv2_kan, efficientnetv2_kan_small, mobilenet_v1_kan,
@@ -295,6 +313,20 @@ def build_model(args, input_shape, num_classes, expert_mesh=None):
             l1_decay=args.l1_decay, grid_size=args.grid_size,
             spline_order=args.spline_order,
             conv_dropout=args.dropout_conv, **common_cls)
+    if args.model == "PipelinedKanMLP":
+        from convkan_tpu.parallel.pipeline import PipelinedKanMLP
+
+        h, w, c = input_shape
+        family = args.kan_classifier or "ChebyKAN"
+        return PipelinedKanMLP(
+            family=family, in_dim=h * w * c, hidden=args.pipe_hidden,
+            n_stages=args.pipe_stages, out_dim=num_classes,
+            cfg={k: v for k, v in
+                 {"degree": args.classifier_degree,
+                  "grid_size": args.classifier_grid_size,
+                  "spline_order": args.classifier_spline_order}.items()
+                 if v is not None},
+            mesh=pipe_mesh, n_microbatches=args.pipe_microbatches)
     if args.model == "MoEKanMLP":
         from convkan_tpu.parallel.moe import MoEKanMLP
 
@@ -408,8 +440,48 @@ def main(argv=None):
             expert=args.mesh_expert, data=data,
             devices=jax.devices()[:data * args.mesh_expert])
 
+    pipe_mesh = None
+    if args.mesh_pipe > 1:
+        if args.model != "PipelinedKanMLP":
+            raise SystemExit(
+                "--mesh_pipe pipelines stage-stacked trunks — it applies "
+                "to --model PipelinedKanMLP only")
+        if args.pipe_stages % args.mesh_pipe:
+            raise SystemExit(
+                f"--mesh_pipe {args.mesh_pipe} must divide "
+                f"--pipe_stages {args.pipe_stages}")
+        if args.mesh_spatial > 1 or args.zero1 or args.mesh_expert > 1:
+            raise SystemExit(
+                "--mesh_pipe is exclusive with --mesh_spatial/--zero1/"
+                "--mesh_expert")
+        from convkan_tpu.parallel.pipeline import make_pipeline_mesh
+
+        data = args.mesh_data or max(n_dev // args.mesh_pipe, 1)
+        if data * args.mesh_pipe > n_dev:
+            data_src = (str(args.mesh_data) if args.mesh_data
+                        else f"(derived: {data})")
+            raise SystemExit(
+                f"--mesh_data {data_src} x --mesh_pipe {args.mesh_pipe} "
+                f"needs {data * args.mesh_pipe} devices; have {n_dev}")
+        if data * args.mesh_pipe < n_dev:
+            logger.warning(
+                "mesh uses %d of %d devices (%d idle) — pick --mesh_data/"
+                "--mesh_pipe that multiply to the device count to use "
+                "all of them", data * args.mesh_pipe, n_dev,
+                n_dev - data * args.mesh_pipe)
+        m = args.pipe_microbatches or args.mesh_pipe
+        if (args.batch_size // data) % m:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} gives per-data-shard "
+                f"batches of {args.batch_size // data}, not divisible by "
+                f"the {m} GPipe microbatches — adjust --batch_size/"
+                "--pipe_microbatches")
+        pipe_mesh = make_pipeline_mesh(
+            pipe=args.mesh_pipe, data=data,
+            devices=jax.devices()[:data * args.mesh_pipe])
+
     model = build_model(args, input_shape, num_classes,
-                        expert_mesh=expert_mesh)
+                        expert_mesh=expert_mesh, pipe_mesh=pipe_mesh)
     model_name = getattr(model, "model_name", type(model).__name__)
     logger.info("Instantiated model '%s'", model_name)
 
@@ -418,6 +490,9 @@ def main(argv=None):
     spatial = max(args.mesh_spatial, 1)
     if expert_mesh is not None:
         mesh = expert_mesh
+        logger.info("mesh: %s", mesh)
+    elif pipe_mesh is not None:
+        mesh = pipe_mesh
         logger.info("mesh: %s", mesh)
     elif spatial > 1 or (args.mesh_data or n_dev) > 1:
         data = args.mesh_data or n_dev // spatial
@@ -559,7 +634,8 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
             label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
             scheduler=args.scheduler, warmup_epochs=args.warmup_epochs,
             clip_grad_norm=args.clip_grad_norm, zero1=args.zero1,
-            expert_parallel=args.mesh_expert > 1)
+            expert_parallel=args.mesh_expert > 1,
+            pipeline_parallel=args.mesh_pipe > 1)
     except TrainingPreempted as e:
         # SIGTERM arrived (cloud preemption notice): a resumable 'last'
         # checkpoint was saved.  EX_TEMPFAIL tells the supervisor
