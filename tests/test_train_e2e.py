@@ -226,6 +226,38 @@ def test_grad_accum_under_mesh():
     assert np.isfinite(history["train_loss"]).all()
 
 
+def test_checkpoint_elastic_resharding(tmp_path):
+    """Checkpoints are sharding-elastic: a run trained WITH ZeRO-1
+    resumes WITHOUT it (plain dp) and vice versa — the Orbax payload is
+    host-snapshotted, so the restore side is free to pick new shardings."""
+    mesh = make_mesh()
+    train_ds, test_ds, _ = get_datasets("MNIST", synthetic=True,
+                                        synthetic_size=256)
+    model = MLP_KAN_FACTORY["ChebyKAN"]([784, 32, 10])
+
+    def run(epochs, zero1, resume, path):
+        return train_model_generic(
+            model, train_ds, test_ds, "MNIST", 10, batch_size=64,
+            epochs=epochs, mesh=mesh, zero1=zero1, path=path,
+            model_name="elastic", resume=resume)
+
+    # zero1 -> plain dp
+    _, h1 = run(2, True, False, str(tmp_path / "a"))
+    _, h2 = run(3, False, True, str(tmp_path / "a"))
+    assert h2["train_loss"][:2] == h1["train_loss"]
+    assert len(h2["train_loss"]) == 3
+    assert np.isfinite(h2["train_loss"]).all()
+
+    # plain dp -> zero1
+    _, h3 = run(2, False, False, str(tmp_path / "b"))
+    _, h4 = run(3, True, True, str(tmp_path / "b"))
+    assert h4["train_loss"][:2] == h3["train_loss"]
+    assert np.isfinite(h4["train_loss"]).all()
+    # both directions walk the same trajectory (same data/seed/model)
+    np.testing.assert_allclose(h4["train_loss"], h2["train_loss"],
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_zero1_full_loop_checkpoint_resume(tmp_path):
     """zero1 through the WHOLE loop: epoch training with data-sharded
     optimizer state, checkpointing the sharded state, and a --resume-style
