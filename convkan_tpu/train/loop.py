@@ -371,7 +371,8 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                           warmup_epochs: int = 0,
                           zero1: bool = False,
                           expert_parallel: bool = False,
-                          pipeline_parallel: bool = False):
+                          pipeline_parallel: bool = False,
+                          tensor_parallel: bool = False):
     """Epoch loop with best-checkpointing and early stopping
     (evaluations.py:156-247 parity).
 
@@ -390,22 +391,30 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
     # parallel/sharding.state_shardings) — params stay replicated, XLA
     # inserts the reduce-scatter/all-gather pair around the update
     st_sh = None
-    if zero1 + expert_parallel + pipeline_parallel > 1:
+    if (zero1 + expert_parallel + pipeline_parallel > 1
+            or (tensor_parallel and (expert_parallel or pipeline_parallel))):
         raise ValueError(
             "zero1 / expert_parallel / pipeline_parallel pick different "
-            "optimizer-state shardings — enable one at a time")
-    if zero1:
-        data_ax = (dict(zip(mesh.axis_names, mesh.devices.shape))
-                   .get("data", 1) if mesh is not None else 1)
-        if data_ax <= 1:
+            "optimizer-state shardings — enable one at a time "
+            "(tensor_parallel composes with zero1 only)")
+    if zero1 or tensor_parallel:
+        sizes = (dict(zip(mesh.axis_names, mesh.devices.shape))
+                 if mesh is not None else {})
+        if zero1 and sizes.get("data", 1) <= 1:
             # fail loudly rather than silently training unsharded — the
             # caller asked for optimizer memory that won't materialize
             raise ValueError(
                 "zero1=True needs a mesh with a >1-wide 'data' axis to "
                 "shard the optimizer state over")
+        if tensor_parallel and sizes.get("model", 1) <= 1:
+            raise ValueError(
+                "tensor_parallel=True needs a mesh with a >1-wide 'model' "
+                "axis to shard conv/linear output channels over")
         from ..parallel.sharding import state_shardings as _state_shardings
 
-        st_sh = _state_shardings(state, mesh, zero1=True)
+        # one call covers both: the TP 'model' rule applies whenever the
+        # mesh has a model axis, zero1 adds the 'data' moment distribution
+        st_sh = _state_shardings(state, mesh, zero1=zero1)
     if (expert_parallel and mesh is not None
             and dict(zip(mesh.axis_names,
                          mesh.devices.shape)).get("expert", 1) > 1):
@@ -434,9 +443,10 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                                state_shardings=st_sh,
                                use_ema=use_ema)
     # NOTE: train_and_test_models runs dp-style (replicated params) unless
-    # zero1 shards the optimizer state; TP callers build their own steps
-    # with state_shardings (see __graft_entry__.dryrun_multichip /
-    # tests/test_parallel.py).
+    # tensor_parallel / zero1 / expert_parallel / pipeline_parallel pick a
+    # state sharding (train.py --mesh_model/--zero1/--mesh_expert/
+    # --mesh_pipe); see also __graft_entry__.dryrun_multichip /
+    # tests/test_parallel.py for step-level sharding callers.
 
     history = {k: [] for k in ["train_loss", "test_loss", "accuracy",
                                "precision", "recall", "f1", "lr",
@@ -617,7 +627,8 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
                         clip_grad_norm: float = 0.0,
                         zero1: bool = False,
                         expert_parallel: bool = False,
-                        pipeline_parallel: bool = False):
+                        pipeline_parallel: bool = False,
+                        tensor_parallel: bool = False):
     """generic_train.py:18-53 parity: build optimizer/state and run the
     epoch loop; returns (state, history).  label_smoothing / ema_decay /
     scheduler='cosine' / warmup_epochs / clip_grad_norm / zero1 /
@@ -649,7 +660,8 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
         label_smoothing=label_smoothing, ema_decay=ema_decay,
         scheduler=scheduler, warmup_epochs=warmup_epochs, zero1=zero1,
         expert_parallel=expert_parallel,
-        pipeline_parallel=pipeline_parallel)
+        pipeline_parallel=pipeline_parallel,
+        tensor_parallel=tensor_parallel)
     total = time.perf_counter() - t0
     logger.info("total training time %.2f min (%.2f min/epoch)",
                 total / 60, total / 60 / max(epochs, 1))

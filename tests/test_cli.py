@@ -273,6 +273,31 @@ def test_cli_main_pipeline_parallel(tmp_path):
     assert os.path.isdir(tmp_path / "MNIST" / "models")
 
 
+def test_cli_mesh_model_validation():
+    """--mesh_model: untested spatial composition rejected; too many
+    devices rejected."""
+    base = ["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+            "--dataset", "MNIST", "--synthetic_data", "--synthetic_size",
+            "64", "--epoch", "1", "--batch_size", "32"]
+    with pytest.raises(SystemExit, match="untested"):
+        cli.main(base + ["--mesh_model", "2", "--mesh_spatial", "2"])
+    with pytest.raises(SystemExit, match="devices"):
+        cli.main(base + ["--mesh_model", "4", "--mesh_data", "4"])
+
+
+def test_cli_main_tensor_parallel(tmp_path):
+    """--mesh_model: end-to-end CLI training with conv/linear output
+    channels (and optimizer moments) sharded over a 4-wide 'model' axis
+    (x2 data)."""
+    import os
+    cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+              "--dataset", "MNIST", "--synthetic_data",
+              "--synthetic_size", "128", "--epoch", "1",
+              "--batch_size", "64", "--mesh_data", "2",
+              "--mesh_model", "4", "--results_dir", str(tmp_path)])
+    assert os.path.isdir(tmp_path / "MNIST" / "models")
+
+
 def test_cli_zero1_needs_data_axis():
     """--zero1 without a multi-device data axis dies with a clear
     SystemExit at setup."""

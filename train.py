@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                         " overflow tokens are dropped (Switch semantics)")
     p.add_argument("--moe_aux_weight", type=float, default=1e-2,
                    help="MoEKanMLP: weight of the load-balance aux loss")
+    p.add_argument("--mesh_model", type=int, default=1,
+                   help="tensor-parallel devices: shard every conv/linear "
+                        "weight's output channels (and the matching "
+                        "optimizer moments) over a 'model' mesh axis "
+                        "(parallel/sharding.py GSPMD rules; XLA inserts "
+                        "the ICI collectives); composes with --mesh_data "
+                        "and --zero1 (data x model devices total)")
     p.add_argument("--mesh_pipe", type=int, default=1,
                    help="pipeline-parallel devices: run PipelinedKanMLP's "
                         "stage-stacked trunk as a GPipe scan+ppermute "
@@ -417,9 +424,10 @@ def main(argv=None):
             raise SystemExit(
                 f"--mesh_expert {args.mesh_expert} must divide "
                 f"--moe_experts {args.moe_experts}")
-        if args.mesh_spatial > 1 or args.zero1:
+        if args.mesh_spatial > 1 or args.zero1 or args.mesh_model > 1:
             raise SystemExit(
-                "--mesh_expert is exclusive with --mesh_spatial/--zero1")
+                "--mesh_expert is exclusive with --mesh_spatial/--zero1/"
+                "--mesh_model")
         from convkan_tpu.parallel.moe import make_expert_mesh
 
         data = args.mesh_data or max(n_dev // args.mesh_expert, 1)
@@ -450,10 +458,11 @@ def main(argv=None):
             raise SystemExit(
                 f"--mesh_pipe {args.mesh_pipe} must divide "
                 f"--pipe_stages {args.pipe_stages}")
-        if args.mesh_spatial > 1 or args.zero1 or args.mesh_expert > 1:
+        if (args.mesh_spatial > 1 or args.zero1 or args.mesh_expert > 1
+                or args.mesh_model > 1):
             raise SystemExit(
                 "--mesh_pipe is exclusive with --mesh_spatial/--zero1/"
-                "--mesh_expert")
+                "--mesh_expert/--mesh_model")
         from convkan_tpu.parallel.pipeline import make_pipeline_mesh
 
         data = args.mesh_data or max(n_dev // args.mesh_pipe, 1)
@@ -494,25 +503,31 @@ def main(argv=None):
     elif pipe_mesh is not None:
         mesh = pipe_mesh
         logger.info("mesh: %s", mesh)
-    elif spatial > 1 or (args.mesh_data or n_dev) > 1:
-        data = args.mesh_data or n_dev // spatial
-        if data < 1 or data * spatial > n_dev:
+    elif spatial > 1 or args.mesh_model > 1 or (args.mesh_data or n_dev) > 1:
+        tp = max(args.mesh_model, 1)
+        if tp > 1 and spatial > 1:
             raise SystemExit(
-                f"--mesh_data {args.mesh_data} x --mesh_spatial {spatial} "
-                f"needs {max(data, 1) * spatial} devices; have {n_dev}")
-        if data * spatial < n_dev:
+                "--mesh_model x --mesh_spatial is untested — pick one "
+                "(tensor-parallel output channels or halo-sharded planes)")
+        data = args.mesh_data or n_dev // (spatial * tp)
+        if data < 1 or data * spatial * tp > n_dev:
+            raise SystemExit(
+                f"--mesh_data {args.mesh_data} x --mesh_model {tp} x "
+                f"--mesh_spatial {spatial} needs "
+                f"{max(data, 1) * spatial * tp} devices; have {n_dev}")
+        if data * spatial * tp < n_dev:
             logger.warning(
                 "mesh uses %d of %d devices (%d idle) — pick --mesh_data/"
-                "--mesh_spatial that multiply to the device count to use "
-                "all of them", data * spatial, n_dev,
-                n_dev - data * spatial)
+                "--mesh_model/--mesh_spatial that multiply to the device "
+                "count to use all of them", data * spatial * tp, n_dev,
+                n_dev - data * spatial * tp)
         if spatial > 1 and input_shape[0] % spatial:
             raise SystemExit(
                 f"--mesh_spatial {spatial} must divide the image height "
                 f"{input_shape[0]} ({args.dataset}) — the input batches "
                 "are H-sharded over the 'spatial' axis")
-        mesh = make_mesh(data=data, spatial=spatial,
-                         devices=jax.devices()[:data * spatial])
+        mesh = make_mesh(data=data, model=tp, spatial=spatial,
+                         devices=jax.devices()[:data * spatial * tp])
         logger.info("mesh: %s", mesh)
         if spatial > 1:
             # every conv built by the factories halo-shards its H plane
@@ -635,7 +650,8 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
             scheduler=args.scheduler, warmup_epochs=args.warmup_epochs,
             clip_grad_norm=args.clip_grad_norm, zero1=args.zero1,
             expert_parallel=args.mesh_expert > 1,
-            pipeline_parallel=args.mesh_pipe > 1)
+            pipeline_parallel=args.mesh_pipe > 1,
+            tensor_parallel=args.mesh_model > 1)
     except TrainingPreempted as e:
         # SIGTERM arrived (cloud preemption notice): a resumable 'last'
         # checkpoint was saved.  EX_TEMPFAIL tells the supervisor
