@@ -100,7 +100,7 @@ def _zero1_spec(x, data_size: int, model_size: int, min_dim: int) -> P:
 
 
 def state_shardings(state, mesh: Mesh, min_dim: int = 2,
-                    zero1: bool = False):
+                    zero1: bool = False, fsdp: bool = False):
     """NamedSharding pytree matching a TrainState: params + opt_state get
     the TP rules (optimizer moments share the param shapes), scalars and
     batch stats replicate.
@@ -113,20 +113,37 @@ def state_shardings(state, mesh: Mesh, min_dim: int = 2,
     replicated spec).  Params/EMA stay whole — per-device optimizer memory
     drops ~2x param bytes at N>=2 with no change to the math.  Built for
     single-controller runs (the checkpoint snapshot path assumes fully
-    addressable arrays); multi-process ZeRO-1 is out of scope."""
+    addressable arrays); multi-process ZeRO-1 is out of scope.
+
+    fsdp=True shards the PARAMS (and their EMA mirrors) over 'data' as
+    well, with the same largest-divisible-dim rule — the GSPMD form of
+    fully-sharded data parallelism (ZeRO-3): each shard stores 1/N of
+    params + moments + EMA, XLA's SPMD partitioner all-gathers each weight
+    at its use sites in forward/backward and reduce-scatters its gradient,
+    and the optimizer update runs on the local shard.  Implies the zero1
+    moment distribution (moments shard with their params); composes with
+    the TP 'model' rule (the last dim keeps 'model' when it applies, so a
+    weight can be cut over BOTH axes).  The math is unchanged — parity
+    tests hold at the usual f32 reduction tolerance."""
     def to_sharding(spec_tree):
         return jax.tree_util.tree_map(
             lambda s: NamedSharding(mesh, s), spec_tree,
             is_leaf=lambda s: isinstance(s, P))
 
-    p_specs = param_partition_specs(state.params, mesh, min_dim)
     repl = NamedSharding(mesh, P())
     sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     model_size = sizes.get("model", 1)
     data_size = sizes.get("data", 1)
 
+    if fsdp and data_size > 1:
+        p_specs = jax.tree_util.tree_map(
+            lambda x: _zero1_spec(x, data_size, model_size, min_dim),
+            state.params)
+    else:
+        p_specs = param_partition_specs(state.params, mesh, min_dim)
+
     def opt_spec(x):
-        if zero1 and data_size > 1 and hasattr(x, "ndim"):
+        if (zero1 or fsdp) and data_size > 1 and hasattr(x, "ndim"):
             return _zero1_spec(x, data_size, model_size, min_dim)
         # same model_size<=1 guard as param_partition_specs: on a mesh
         # without a 'model' axis, P(..., 'model') would crash NamedSharding

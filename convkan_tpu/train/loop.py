@@ -370,6 +370,7 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
                           scheduler: str = "exponential",
                           warmup_epochs: int = 0,
                           zero1: bool = False,
+                          fsdp: bool = False,
                           expert_parallel: bool = False,
                           pipeline_parallel: bool = False,
                           tensor_parallel: bool = False):
@@ -391,30 +392,33 @@ def train_and_test_models(model, state: TrainState, train_ds: ArrayDataset,
     # parallel/sharding.state_shardings) — params stay replicated, XLA
     # inserts the reduce-scatter/all-gather pair around the update
     st_sh = None
-    if (zero1 + expert_parallel + pipeline_parallel > 1
+    if ((zero1 or fsdp) + expert_parallel + pipeline_parallel > 1
             or (tensor_parallel and (expert_parallel or pipeline_parallel))):
         raise ValueError(
-            "zero1 / expert_parallel / pipeline_parallel pick different "
-            "optimizer-state shardings — enable one at a time "
-            "(tensor_parallel composes with zero1 only)")
-    if zero1 or tensor_parallel:
+            "zero1/fsdp / expert_parallel / pipeline_parallel pick "
+            "different optimizer-state shardings — enable one at a time "
+            "(tensor_parallel composes with zero1/fsdp only)")
+    if zero1 or fsdp or tensor_parallel:
         sizes = (dict(zip(mesh.axis_names, mesh.devices.shape))
                  if mesh is not None else {})
-        if zero1 and sizes.get("data", 1) <= 1:
+        if (zero1 or fsdp) and sizes.get("data", 1) <= 1:
             # fail loudly rather than silently training unsharded — the
             # caller asked for optimizer memory that won't materialize
             raise ValueError(
-                "zero1=True needs a mesh with a >1-wide 'data' axis to "
-                "shard the optimizer state over")
+                ("fsdp" if fsdp else "zero1") + "=True needs a mesh with "
+                "a >1-wide 'data' axis to shard the "
+                + ("params + optimizer state" if fsdp
+                   else "optimizer state") + " over")
         if tensor_parallel and sizes.get("model", 1) <= 1:
             raise ValueError(
                 "tensor_parallel=True needs a mesh with a >1-wide 'model' "
                 "axis to shard conv/linear output channels over")
         from ..parallel.sharding import state_shardings as _state_shardings
 
-        # one call covers both: the TP 'model' rule applies whenever the
-        # mesh has a model axis, zero1 adds the 'data' moment distribution
-        st_sh = _state_shardings(state, mesh, zero1=zero1)
+        # one call covers all three: the TP 'model' rule applies whenever
+        # the mesh has a model axis, zero1 adds the 'data' moment
+        # distribution, fsdp extends it to params/EMA (ZeRO-3 analogue)
+        st_sh = _state_shardings(state, mesh, zero1=zero1, fsdp=fsdp)
     if (expert_parallel and mesh is not None
             and dict(zip(mesh.axis_names,
                          mesh.devices.shape)).get("expert", 1) > 1):
@@ -626,12 +630,13 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
                         warmup_epochs: int = 0,
                         clip_grad_norm: float = 0.0,
                         zero1: bool = False,
+                        fsdp: bool = False,
                         expert_parallel: bool = False,
                         pipeline_parallel: bool = False,
                         tensor_parallel: bool = False):
     """generic_train.py:18-53 parity: build optimizer/state and run the
     epoch loop; returns (state, history).  label_smoothing / ema_decay /
-    scheduler='cosine' / warmup_epochs / clip_grad_norm / zero1 /
+    scheduler='cosine' / warmup_epochs / clip_grad_norm / zero1 / fsdp /
     expert_parallel / pipeline_parallel are opt-in beyond-reference
     production knobs (defaults reproduce the reference recipe)."""
     model_name = model_name or getattr(model, "model_name", None) or type(model).__name__
@@ -659,7 +664,7 @@ def train_model_generic(model, train_ds, test_ds, dataset: str,
         gamma=gamma, patience=patience, grad_accum=grad_accum,
         label_smoothing=label_smoothing, ema_decay=ema_decay,
         scheduler=scheduler, warmup_epochs=warmup_epochs, zero1=zero1,
-        expert_parallel=expert_parallel,
+        fsdp=fsdp, expert_parallel=expert_parallel,
         pipeline_parallel=pipeline_parallel,
         tensor_parallel=tensor_parallel)
     total = time.perf_counter() - t0

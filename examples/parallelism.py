@@ -22,9 +22,12 @@ Covers:
   6. ZeRO-1                  — AdamW moments sharded over 'data', params
                                replicated (reduce-scatter/all-gather by
                                XLA);
-  7. pipeline parallelism    — a deep KAN-MLP trunk's stacked stages over
+  7. FSDP (ZeRO-3)           — params AND moments sharded over 'data';
+                               XLA all-gathers weights at their use sites
+                               and reduce-scatters gradients;
+  8. pipeline parallelism    — a deep KAN-MLP trunk's stacked stages over
                                a 'pipe' axis, GPipe scan+ppermute;
-  8. expert parallelism      — a mixture-of-KAN-experts layer, top-1
+  9. expert parallelism      — a mixture-of-KAN-experts layer, top-1
                                routed, experts sharded over 'expert'.
 """
 
@@ -165,6 +168,30 @@ def zero1(model):
           f"each device holds {frac:.3f} of a moment leaf")
 
 
+def fsdp(model):
+    """FSDP (GSPMD ZeRO-3): params + moments sharded over 'data' —
+    per-device model memory drops ~1/N; XLA all-gathers each weight at
+    its use sites and reduce-scatters its gradient."""
+    mesh = make_mesh(data=8)
+    x0 = jnp.zeros((16, 32, 32, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                               steps_per_epoch=10)
+    st_sh = state_shardings(state, mesh, fsdp=True)
+    state = jax.device_put(state, st_sh)
+    step = make_train_step(model, "CIFAR10", augment=True, mesh=mesh,
+                           state_shardings=st_sh)
+    xb = np.random.RandomState(0).randint(0, 256, (16, 32, 32, 3), np.uint8)
+    yb = np.random.RandomState(1).randint(0, 10, (16,), np.int32)
+    state, loss = step(state, jax.random.PRNGKey(1), xb, yb)
+    leaf = next(x for x in jax.tree_util.tree_leaves(state.params)
+                if hasattr(x, "sharding") and any(
+                    "data" in (e if isinstance(e, tuple) else (e,))
+                    for e in x.sharding.spec if e))
+    frac = leaf.addressable_shards[0].data.size / leaf.size
+    print(f"7. FSDP over 8 devices:          loss {float(loss):.4f}, "
+          f"each device holds {frac:.3f} of a param leaf")
+
+
 def pipeline_parallel():
     """GPipe: 4 identical ChebyKAN stages pipelined over a 4-wide 'pipe'
     axis (x 2 data); the sequential lax.scan trunk is the oracle."""
@@ -181,7 +208,7 @@ def pipeline_parallel():
     y_seq = seq.apply(v, x, train=False)
     y_pip = jax.jit(lambda v, x: pip.apply(v, x, train=False))(v, x)
     err = float(jnp.max(jnp.abs(y_pip - y_seq)))
-    print(f"7. pipeline (4 stages x pipe=4): max |pipelined - seq| = "
+    print(f"8. pipeline (4 stages x pipe=4): max |pipelined - seq| = "
           f"{err:.2e}")
 
 
@@ -202,7 +229,7 @@ def expert_parallel():
     y_moe = jax.jit(
         lambda p, x: moe.apply({"params": p}, x, train=False))(params, x)
     err = float(jnp.max(jnp.abs(y_moe - y_dense)))
-    print(f"8. expert parallel (4 experts):  max |sharded - dense| = "
+    print(f"9. expert parallel (4 experts):  max |sharded - dense| = "
           f"{err:.2e}")
 
 
@@ -213,6 +240,7 @@ if __name__ == "__main__":
     spatial_whole_model(model)
     multislice()
     zero1(model)
+    fsdp(model)
     pipeline_parallel()
     expert_parallel()
     print("done.")

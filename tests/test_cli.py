@@ -319,3 +319,28 @@ def test_cli_main_zero1(tmp_path):
               "--results_dir", str(tmp_path)])
     import os
     assert os.path.isdir(tmp_path / "CIFAR10" / "models")
+
+
+def test_cli_fsdp_needs_data_axis():
+    """--fsdp without a multi-device data axis dies with a clear
+    SystemExit at setup."""
+    with pytest.raises(SystemExit, match="fsdp"):
+        cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+                  "--dataset", "MNIST", "--synthetic_data",
+                  "--synthetic_size", "64", "--epoch", "1",
+                  "--batch_size", "32", "--mesh_data", "1", "--fsdp"])
+
+
+@pytest.mark.slow
+def test_cli_main_fsdp(tmp_path):
+    """--fsdp: end-to-end training through the CLI with params + optimizer
+    state sharded over the data axis (GSPMD ZeRO-3), composed with a
+    2-wide tensor-parallel 'model' axis."""
+    import os
+    cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+              "--dataset", "CIFAR10", "--synthetic_data",
+              "--synthetic_size", "128", "--epoch", "1",
+              "--batch_size", "64", "--mesh_data", "4",
+              "--mesh_model", "2", "--fsdp",
+              "--results_dir", str(tmp_path)])
+    assert os.path.isdir(tmp_path / "CIFAR10" / "models")

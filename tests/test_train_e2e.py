@@ -235,26 +235,34 @@ def test_checkpoint_elastic_resharding(tmp_path):
                                         synthetic_size=256)
     model = MLP_KAN_FACTORY["ChebyKAN"]([784, 32, 10])
 
-    def run(epochs, zero1, resume, path):
+    def run(epochs, resume, path, **shard_kw):
         return train_model_generic(
             model, train_ds, test_ds, "MNIST", 10, batch_size=64,
-            epochs=epochs, mesh=mesh, zero1=zero1, path=path,
-            model_name="elastic", resume=resume)
+            epochs=epochs, mesh=mesh, path=path,
+            model_name="elastic", resume=resume, **shard_kw)
 
     # zero1 -> plain dp
-    _, h1 = run(2, True, False, str(tmp_path / "a"))
-    _, h2 = run(3, False, True, str(tmp_path / "a"))
+    _, h1 = run(2, False, str(tmp_path / "a"), zero1=True)
+    _, h2 = run(3, True, str(tmp_path / "a"))
     assert h2["train_loss"][:2] == h1["train_loss"]
     assert len(h2["train_loss"]) == 3
     assert np.isfinite(h2["train_loss"]).all()
 
     # plain dp -> zero1
-    _, h3 = run(2, False, False, str(tmp_path / "b"))
-    _, h4 = run(3, True, True, str(tmp_path / "b"))
+    _, h3 = run(2, False, str(tmp_path / "b"))
+    _, h4 = run(3, True, str(tmp_path / "b"), zero1=True)
     assert h4["train_loss"][:2] == h3["train_loss"]
     assert np.isfinite(h4["train_loss"]).all()
     # both directions walk the same trajectory (same data/seed/model)
     np.testing.assert_allclose(h4["train_loss"], h2["train_loss"],
+                               rtol=2e-5, atol=2e-5)
+
+    # fsdp -> plain dp: a run trained with params+moments data-sharded
+    # (GSPMD ZeRO-3) restores replicated and keeps the same trajectory
+    _, h5 = run(2, False, str(tmp_path / "c"), fsdp=True)
+    _, h6 = run(3, True, str(tmp_path / "c"))
+    assert h6["train_loss"][:2] == h5["train_loss"]
+    np.testing.assert_allclose(h6["train_loss"], h2["train_loss"],
                                rtol=2e-5, atol=2e-5)
 
 

@@ -144,6 +144,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "moments and computes 1/N of the update; params "
                         "stay replicated) — cuts per-device optimizer "
                         "memory ~2x param bytes; needs --mesh_data > 1")
+    p.add_argument("--fsdp", action="store_true",
+                   help="fully-sharded data parallelism (GSPMD ZeRO-3): "
+                        "shard params, EMA, AND optimizer moments over "
+                        "the 'data' mesh axis (parallel/sharding.py; XLA "
+                        "all-gathers each weight at its use sites and "
+                        "reduce-scatters its gradient) — per-device model "
+                        "memory drops ~1/N; implies --zero1's moment "
+                        "sharding, composes with --mesh_model; needs "
+                        "--mesh_data > 1")
     p.add_argument("--patience", type=float, default=float("inf"),
                    help="early-stopping patience in epochs (reference "
                         "default: inf, evaluations.py:156)")
@@ -424,10 +433,11 @@ def main(argv=None):
             raise SystemExit(
                 f"--mesh_expert {args.mesh_expert} must divide "
                 f"--moe_experts {args.moe_experts}")
-        if args.mesh_spatial > 1 or args.zero1 or args.mesh_model > 1:
+        if (args.mesh_spatial > 1 or args.zero1 or args.fsdp
+                or args.mesh_model > 1):
             raise SystemExit(
                 "--mesh_expert is exclusive with --mesh_spatial/--zero1/"
-                "--mesh_model")
+                "--fsdp/--mesh_model")
         from convkan_tpu.parallel.moe import make_expert_mesh
 
         data = args.mesh_data or max(n_dev // args.mesh_expert, 1)
@@ -458,11 +468,11 @@ def main(argv=None):
             raise SystemExit(
                 f"--mesh_pipe {args.mesh_pipe} must divide "
                 f"--pipe_stages {args.pipe_stages}")
-        if (args.mesh_spatial > 1 or args.zero1 or args.mesh_expert > 1
-                or args.mesh_model > 1):
+        if (args.mesh_spatial > 1 or args.zero1 or args.fsdp
+                or args.mesh_expert > 1 or args.mesh_model > 1):
             raise SystemExit(
                 "--mesh_pipe is exclusive with --mesh_spatial/--zero1/"
-                "--mesh_expert/--mesh_model")
+                "--fsdp/--mesh_expert/--mesh_model")
         from convkan_tpu.parallel.pipeline import make_pipeline_mesh
 
         data = args.mesh_data or max(n_dev // args.mesh_pipe, 1)
@@ -537,14 +547,17 @@ def main(argv=None):
             from convkan_tpu.parallel.halo import set_spatial_defaults
 
             prev_spatial = set_spatial_defaults(mesh, "spatial")
-    if args.zero1:
+    if args.zero1 or args.fsdp:
         data_axis = (dict(zip(mesh.axis_names, mesh.devices.shape))
                      .get("data", 1) if mesh is not None else 1)
         if data_axis <= 1:
+            flag = "--fsdp" if args.fsdp else "--zero1"
+            what = ("params + optimizer state" if args.fsdp
+                    else "the optimizer state")
             raise SystemExit(
-                "--zero1 shards the optimizer state over the 'data' mesh "
-                "axis, which needs more than one data-parallel device — "
-                "run with --mesh_data N (N > 1)")
+                f"{flag} shards {what} over the 'data' mesh axis, which "
+                "needs more than one data-parallel device — run with "
+                "--mesh_data N (N > 1)")
     import contextlib
 
     profile_ctx = contextlib.nullcontext()
@@ -649,6 +662,7 @@ def _main_with_mesh(args, model, model_name, mesh, input_shape, num_classes,
             label_smoothing=args.label_smoothing, ema_decay=args.ema_decay,
             scheduler=args.scheduler, warmup_epochs=args.warmup_epochs,
             clip_grad_norm=args.clip_grad_norm, zero1=args.zero1,
+            fsdp=args.fsdp,
             expert_parallel=args.mesh_expert > 1,
             pipeline_parallel=args.mesh_pipe > 1,
             tensor_parallel=args.mesh_model > 1)
