@@ -285,18 +285,21 @@ def measure_fastkan_mlp(batch=8192, steps=500):
 
 
 # ------------------------------------------------------------ config 4
-def measure_wavkan(batch=1024, steps=10, use_pallas="auto",
+def measure_wavkan(batch=2048, steps=10, use_pallas="auto",
                    island_bf16=False):
     """WavKAN conv stack (mexican_hat, fast) CIFAR-100 train step
     (config 4; stack shape from wav_kan_layers.py:469-476).
 
-    Batch 1024 (round 3): like config 5, the old batch-256 row was
-    partially launch-gap-bound — profile showed 11.2 ms/step device busy
-    vs 14.9 ms wall.  Measured: exact 14.6k (b256) -> 16.3k (b1024);
-    island 17.2k -> 20.2k.  island_bf16=True materializes the psi tensor
-    (this config's dominant HBM traffic, profiled at ~82% of roofline)
-    in bf16 — the opt-in non-bit-exact variant, see
-    WavKANConvND.island_bf16 and BENCH_NOTES.md."""
+    Batch 2048 (round 4): the round-3 b1024 row was still
+    occupancy-limited.  Measured ladder (exact-parity f32):
+    b256 14.6k -> b1024 16.3k -> b2048 21.1k img/s; b4096 OOMs (the two
+    wide psi tensors alone are 17 GB f32).  island_bf16: b1024 20.2k ->
+    b2048 23.4k (b4096 fits in bf16 but is no faster, 23.1k).
+    island_bf16=True materializes the psi tensor (this config's dominant
+    HBM traffic) in bf16 — the opt-in non-bit-exact variant, see
+    WavKANConvND.island_bf16 and BENCH_NOTES.md.  Alternative psi
+    assemblies (flat concat build, jax.checkpoint remat) both measured
+    slower and stay opt-in knobs (set_wav_perf_defaults)."""
     import flax.linen as nn
     import jax
     import jax.numpy as jnp

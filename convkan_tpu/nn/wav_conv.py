@@ -19,6 +19,7 @@ checkpoint parity.
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any, Mapping, Tuple, Union
 
 import flax.linen as nn
@@ -31,6 +32,25 @@ from ..utils import initializers as init_lib
 from ..utils.norms import BatchNorm, make_norm
 from ..parallel.halo import maybe_sharded_conv, resolve_spatial
 from .kan_conv import _PERF_DEFAULTS
+
+# process-wide default for WavKANConvND.psi_build (see that flag's
+# docstring); toggled via set_wav_perf_defaults so bench A/Bs are not
+# silently no-ops (flax dataclass defaults bake at class creation)
+_WAV_PERF_DEFAULTS = {"psi_build": "bcast", "psi_remat": False}
+
+
+def set_wav_perf_defaults(**kwargs):
+    """Set process-wide defaults for WavKANConvND's perf-only knobs
+    (currently psi_build: 'bcast' | 'flat').  Returns the previous
+    values so callers can restore them."""
+    prev = {}
+    for k, v in kwargs.items():
+        if k not in _WAV_PERF_DEFAULTS:
+            raise KeyError(f"unknown wav perf knob {k!r}; "
+                           f"have {sorted(_WAV_PERF_DEFAULTS)}")
+        prev[k] = _WAV_PERF_DEFAULTS[k]
+        _WAV_PERF_DEFAULTS[k] = v
+    return prev
 
 
 class WavKANConvND(nn.Module):
@@ -79,6 +99,44 @@ class WavKANConvND(nn.Module):
     # (parallel.halo.set_spatial_defaults).
     spatial_mesh: Any = None
     spatial_axis: Any = None
+    # psi assembly strategy (numerics-identical; perf only):
+    #   'bcast' — rank-5 (B,*S,G,out_g,in_g) broadcast, collapsed by
+    #             reshape.  The measured-fastest form on v5e: XLA fuses
+    #             the whole expansion into the forward grouped convs
+    #             (the trace shows conv fusions reading the NARROW x
+    #             directly — psi never exists separately on the forward
+    #             path for L2/L3 of config 4).
+    #   'flat'  — assemble psi directly in the collapsed layout: channel-
+    #             concat the input out_g times, subtract/divide flat (C,)
+    #             translation/scale vectors, apply the wavelet on the flat
+    #             array.  Measured SLOWER (14.4k vs 16.4k img/s, config 4
+    #             b1024, round 4): XLA materializes the concat instead of
+    #             fusing it.  Kept for chips where the tradeoff differs.
+    # None = the process default (set_wav_perf_defaults), which is
+    # 'bcast'.  Both builds are bitwise identical
+    # (test_fused_wav.py::test_psi_build_parity).
+    psi_build: Any = None
+    # rematerialize psi on the backward pass via jax.checkpoint
+    # (numerics-identical).  Theory: autodiff saves wide backward
+    # intermediates that XLA relayout-copies (~4 ms/step of
+    # {3,0,2,1}<->{0,3,2,1} copies of the (B,*S,2048/8192) tensors on
+    # config 4 at b256); remat could let the wgrad fuse a recompute from
+    # the narrow x instead.  MEASURED SLOWER (13.6k vs 16.3k img/s,
+    # config 4 b1024, round 4): the checkpoint boundary breaks the
+    # igrad/divide-reduce fusions and costs more than the copies it
+    # removes.  Default False; kept as an opt-in for memory-bound cases
+    # (it does shrink the saved-activation footprint).
+    psi_remat: Any = None
+
+    @property
+    def _psi_build_mode(self) -> str:
+        return (_WAV_PERF_DEFAULTS["psi_build"] if self.psi_build is None
+                else self.psi_build)
+
+    @property
+    def _psi_remat_on(self) -> bool:
+        return (_WAV_PERF_DEFAULTS["psi_remat"] if self.psi_remat is None
+                else self.psi_remat)
 
     @property
     def _island_bf16_on(self) -> bool:
@@ -144,6 +202,35 @@ class WavKANConvND(nn.Module):
             wavelet_type=self.wavelet_type, padding=pad,
             interpret=self.pallas_interpret)
 
+    def _flat_psi(self, xw, tw, sw):
+        """psi assembled directly in the collapsed (B, *S, C) layout,
+        C = groups*out_g*in_g, flat index c = (g*out_g + o)*in_g + i.
+        Numerically identical to the rank-5 broadcast + reshape (pinned by
+        test_fused_wav.py::test_psi_build_parity); avoids the lane-padded
+        rank-5 intermediate and its relayout copies entirely.  The channel
+        concat is an XLA input fusion — the repeated x is never
+        materialized in HBM, only the flat psi is."""
+        if self.groups == 1:
+            blocks = [xw] * self.out_g
+        else:
+            blocks = [xw[..., g * self.in_g:(g + 1) * self.in_g]
+                      for g in range(self.groups) for _ in range(self.out_g)]
+        x_flat = jnp.concatenate(blocks, axis=-1) if len(blocks) > 1 \
+            else blocks[0]
+        t_flat = tw.reshape(-1)
+        s_flat = sw.reshape(-1)
+        x_scaled = (x_flat - t_flat) / s_flat
+        if self.wavelet_type == "shannon":
+            # shannon windows over the in_g axis (wav_kan_layers.py:180-
+            # 190); in flat layout that is the hamming window tiled per
+            # (g, o) block
+            from ..basis.wavelet import _sinc, hamming_window
+            win = jnp.asarray(
+                jnp.tile(jnp.asarray(hamming_window(self.in_g)),
+                         self.groups * self.out_g)).astype(x_scaled.dtype)
+            return _sinc(x_scaled / math.pi) * win
+        return wavelet(x_scaled, self.wavelet_type)
+
     @nn.compact
     def __call__(self, x, train: bool = True):
         assert self.wavelet_type in WAVELET_TYPES, (
@@ -207,22 +294,37 @@ class WavKANConvND(nn.Module):
                                   for a in (x, translation, scale, wav_w))
             B = x.shape[0]
             spatial_shape = x.shape[1:-1]
-            # (B, *S, G, 1, in_g) - broadcast against (G, out_g, in_g).
-            # NOTE a per-(g,o) lane-concat rebuild (the round-2
-            # degree-major trick) was measured SLOWER here (12.1k vs
-            # 14.4k img/s on config 4): XLA fuses this broadcast form
-            # better than 64 explicit slices — see KERNELS.md round 3.
-            xg = xw.reshape(
-                (B,) + spatial_shape + (self.groups, 1, self.in_g))
-            x_scaled = (xg - tw) / sw  # (B, *S, G, out_g, in_g)
-            # channel axis (for shannon's hamming window) is the in_g axis
-            psi = wavelet(x_scaled, self.wavelet_type,
-                          channel_axis=x_scaled.ndim - 1)
 
-            flat = psi.reshape(
-                (B,) + spatial_shape
-                + (self.groups * self.out_g * self.in_g,)
-            )
+            def build_psi(xw, tw, sw):
+                if self._psi_build_mode == "flat":
+                    # concat the INPUT pre-wavelet so the elementwise
+                    # fusion writes the collapsed layout directly.
+                    # Measured SLOWER than 'bcast' on config 4 (14.4k vs
+                    # 16.4k img/s b1024, round 4): XLA materializes the
+                    # concat instead of fusing it.  Kept for chips where
+                    # the tradeoff differs.
+                    return self._flat_psi(xw, tw, sw)
+                # (B, *S, G, 1, in_g) - broadcast against (G, out_g,
+                # in_g).  NOTE a per-(g,o) lane-concat rebuild of PSI
+                # (the round-2 degree-major trick) was measured SLOWER
+                # here (12.1k vs 14.4k img/s on config 4): XLA fuses this
+                # broadcast form better than 64 explicit psi slices — see
+                # KERNELS.md round 3.
+                xg = xw.reshape(
+                    (B,) + spatial_shape + (self.groups, 1, self.in_g))
+                x_scaled = (xg - tw) / sw  # (B, *S, G, out_g, in_g)
+                # channel axis (for shannon's hamming window) is in_g
+                psi = wavelet(x_scaled, self.wavelet_type,
+                              channel_axis=x_scaled.ndim - 1)
+
+                return psi.reshape(
+                    (B,) + spatial_shape
+                    + (self.groups * self.out_g * self.in_g,)
+                )
+
+            if self._psi_remat_on:
+                build_psi = jax.checkpoint(build_psi)
+            flat = build_psi(xw, tw, sw)
             y = self._conv(
                 flat, ww, stride=self.stride, padding=self.padding,
                 dilation=self.dilation, groups=self.groups * self.out_g,

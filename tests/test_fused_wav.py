@@ -145,3 +145,63 @@ def test_wav_island_bf16_process_default():
         assert WavKANConvND(island_bf16=False, **kw)._island_bf16_on is False
     finally:
         set_perf_defaults(**prev)
+
+
+@pytest.mark.parametrize("wavelet_type", ["mexican_hat", "shannon", "meyer"])
+@pytest.mark.parametrize("groups", [1, 2])
+def test_psi_build_parity(wavelet_type, groups):
+    """psi_build='flat' (collapsed-layout assembly) is bitwise identical
+    to the default 'bcast' rank-5 broadcast — same params, same output,
+    including shannon's per-(g,o)-tiled hamming window and grouped input
+    slicing.  psi_remat=True (jax.checkpoint) must also be value-exact
+    in both forward and gradients."""
+    kw = dict(input_dim=8, output_dim=6, kernel_size=3, ndim=2, padding=1,
+              groups=groups, wavelet_type=wavelet_type, use_pallas=False)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 6, 8), jnp.float32)
+    bcast = WavKANConvND(psi_build="bcast", **kw)
+    flat = WavKANConvND(psi_build="flat", **kw)
+    remat = WavKANConvND(psi_build="bcast", psi_remat=True, **kw)
+    v = bcast.init(jax.random.PRNGKey(1), x, train=False)
+    y0 = jax.jit(lambda v, x: bcast.apply(v, x, train=False))(v, x)
+    y1 = jax.jit(lambda v, x: flat.apply(v, x, train=False))(v, x)
+    y2 = jax.jit(lambda v, x: remat.apply(v, x, train=False))(v, x)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y2))
+
+    def loss(module):
+        def f(p):
+            out, _ = module.apply(
+                {"params": p, "batch_stats": v["batch_stats"]}, x,
+                train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(out ** 2)
+        return jax.jit(jax.grad(f))(v["params"])
+
+    g0, g1, g2 = loss(bcast), loss(flat), loss(remat)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_wav_psi_build_process_default():
+    """set_wav_perf_defaults flips the process default; explicit ctor
+    kwarg wins; unknown knobs are rejected."""
+    from convkan_tpu.nn.wav_conv import set_wav_perf_defaults
+
+    kw = dict(input_dim=4, output_dim=4, kernel_size=3, ndim=2)
+    assert WavKANConvND(**kw)._psi_build_mode == "bcast"
+    assert WavKANConvND(**kw)._psi_remat_on is False
+    prev = set_wav_perf_defaults(psi_build="flat", psi_remat=True)
+    try:
+        assert WavKANConvND(**kw)._psi_build_mode == "flat"
+        assert WavKANConvND(**kw)._psi_remat_on is True
+        assert WavKANConvND(psi_build="bcast", **kw)._psi_build_mode == "bcast"
+        assert WavKANConvND(psi_remat=False, **kw)._psi_remat_on is False
+    finally:
+        set_wav_perf_defaults(**prev)
+    with pytest.raises(KeyError):
+        set_wav_perf_defaults(nope=1)
