@@ -35,7 +35,7 @@ def _sync(x):
     return np.asarray(jax.device_get(x)).ravel()[:1]
 
 
-def build_config4(use_pallas, island_bf16=False):
+def build_config4(use_pallas, island_bf16=False, batch=256):
     import flax.linen as nn
 
     from convkan_tpu.nn.wav_conv import WavKANConv2DLayer
@@ -44,7 +44,6 @@ def build_config4(use_pallas, island_bf16=False):
     from convkan_tpu.train.metrics import cross_entropy_loss
     from convkan_tpu.train.state import create_train_state
 
-    batch = 256
 
     class WavNet(nn.Module):
         @nn.compact
@@ -195,7 +194,7 @@ def main():
     args = ap.parse_args()
 
     if args.config == "config4":
-        step, state = build_config4(False)
+        step, state = build_config4(False, batch=args.batch)
     elif args.config == "config4_island":
         step, state = build_config4(False, island_bf16=True)
     elif args.config == "config4_pallas":
