@@ -121,21 +121,6 @@ def halo_conv_nd(mesh: Mesh, axis, x, w, *, ndim: int, stride=1, padding=1,
         if a is not None:
             assert p == h, "requires odd-k 'same' padding (see docstring)"
 
-    def local(x_loc, w_loc):
-        # x_loc: (B, *S_local, C).  Exchanges run dim-by-dim on the
-        # already-extended block, so later hops carry the corner halos.
-        xh = x_loc
-        for i, (a, h) in enumerate(zip(axes, halos)):
-            if a is not None:
-                xh = _exchange(xh, a, sizes[a], h, i + 1)
-        # sharded dims already carry their halos ('valid' locally);
-        # unsharded dims keep symmetric padding.  With loc % s == 0 every
-        # shard starts on the global stride grid, so the local conv
-        # reproduces the global output slices.
-        pad = tuple(0 if a is not None else p for a, p in zip(axes, ps))
-        return conv_nd(xh, w_loc, ndim=ndim, stride=ss, padding=pad,
-                       dilation=ds, groups=groups)
-
     # keep the batch dim sharded over the mesh's data axes (when they are
     # not already spent on spatial planes, and the batch divides) so halo
     # convs compose with data parallelism instead of gathering the batch
@@ -149,9 +134,48 @@ def halo_conv_nd(mesh: Mesh, axis, x, w, *, ndim: int, stride=1, padding=1,
         b_size *= sizes[a]
     if b_size == 1 or x.shape[0] % b_size:
         b_axes = ()
-    spec = P(b_axes if b_axes else None, *axes, None)
-    return jax.shard_map(local, mesh=mesh, in_specs=(spec, P()),
-                         out_specs=spec)(x, w)
+
+    # Tensor-parallel composition (VERDICT r3 #4): when the mesh has a
+    # 'model' axis and the weight's output channels split by the same rule
+    # as parallel.sharding._spec_for (TP params are O-sharded over
+    # 'model'), keep the weight sharded INSIDE the shard_map and emit the
+    # output channel-sharded — otherwise a TP-sharded weight would be
+    # all-gathered at the shard_map boundary every step.  Grouped convs
+    # compose when the groups split too (channel blocks are group-major on
+    # both x and O, so a 'model' shard owns whole groups); ineligible
+    # shapes fall back to the replicated-weight spec, which GSPMD handles
+    # by gathering (correct, just not TP-efficient).
+    m_size = sizes.get("model", 1) if "model" not in used else 1
+    O = w.shape[-1]
+    tp = (m_size > 1 and O >= 2 and O % m_size == 0
+          and (groups == 1 or groups % m_size == 0))
+    if tp:
+        w_spec = P(*(None,) * (ndim + 1), "model")
+        x_chan = "model" if groups > 1 else None
+        out_chan = "model"
+        local_groups = groups // m_size if groups > 1 else 1
+    else:
+        w_spec, x_chan, out_chan, local_groups = P(), None, None, groups
+
+    def local(x_loc, w_loc):
+        # x_loc: (B, *S_local, C or C/m).  Exchanges run dim-by-dim on the
+        # already-extended block, so later hops carry the corner halos.
+        xh = x_loc
+        for i, (a, h) in enumerate(zip(axes, halos)):
+            if a is not None:
+                xh = _exchange(xh, a, sizes[a], h, i + 1)
+        # sharded dims already carry their halos ('valid' locally);
+        # unsharded dims keep symmetric padding.  With loc % s == 0 every
+        # shard starts on the global stride grid, so the local conv
+        # reproduces the global output slices.
+        pad = tuple(0 if a is not None else p for a, p in zip(axes, ps))
+        return conv_nd(xh, w_loc, ndim=ndim, stride=ss, padding=pad,
+                       dilation=ds, groups=local_groups)
+
+    spec_x = P(b_axes if b_axes else None, *axes, x_chan)
+    spec_out = P(b_axes if b_axes else None, *axes, out_chan)
+    return jax.shard_map(local, mesh=mesh, in_specs=(spec_x, w_spec),
+                         out_specs=spec_out)(x, w)
 
 
 def halo_conv2d(mesh: Mesh, axis, x, w, *, stride=1, padding=1,

@@ -760,3 +760,137 @@ def test_fsdp_composes_with_tensor_parallel():
                             state_shardings=st_sh)
     state2, l = step2(state2, jax.random.PRNGKey(7), xb, yb)
     np.testing.assert_allclose(float(l), float(l_ref), rtol=2e-5, atol=2e-5)
+
+
+def test_halo_conv_tp_weight_sharded():
+    """Spatial x tensor parallel (VERDICT r3 #4): halo_conv_nd keeps a
+    'model'-sharded weight sharded inside the shard_map (no per-step
+    all-gather) and emits a channel-sharded output — numerically equal to
+    the plain conv, for both dense and grouped convs."""
+    from convkan_tpu.parallel.halo import halo_conv_nd
+
+    mesh = make_mesh(data=2, model=2, spatial=2)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 16, 8), jnp.float32)
+
+    # dense: O=12 splits over model=2
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 12), jnp.float32)
+    y_ref = conv_nd(x, w, ndim=2, stride=1, padding=1)
+    xs = jax.device_put(
+        x, NamedSharding(mesh, P("data", "spatial", None, None)))
+    ws = jax.device_put(
+        w, NamedSharding(mesh, P(None, None, None, "model")))
+    y = halo_conv_nd(mesh, "spatial", xs, ws, ndim=2, padding=1)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+    # the output is channel-sharded over 'model' (TP preserved, not
+    # gathered)
+    assert "model" in str(y.sharding.spec)
+
+    # grouped: groups=4 splits over model=2 (whole groups per shard)
+    wg = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 2, 12), jnp.float32)
+    y_ref_g = conv_nd(x, wg, ndim=2, stride=1, padding=1, groups=4)
+    y_g = halo_conv_nd(mesh, "spatial", xs, ws := jax.device_put(
+        wg, NamedSharding(mesh, P(None, None, None, "model"))), ndim=2,
+        padding=1, groups=4)
+    np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_ref_g),
+                               atol=1e-5, rtol=1e-5)
+
+    # ineligible group split (groups=3, model=2): falls back to the
+    # replicated-weight path, still correct
+    w3 = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 8, 9), jnp.float32)
+    x3 = jax.random.normal(jax.random.PRNGKey(4), (4, 16, 16, 24),
+                           jnp.float32)
+    y_ref3 = conv_nd(x3, w3, ndim=2, stride=1, padding=1, groups=3)
+    x3s = jax.device_put(
+        x3, NamedSharding(mesh, P("data", "spatial", None, None)))
+    y3 = halo_conv_nd(mesh, "spatial", x3s, w3, ndim=2, padding=1, groups=3)
+    np.testing.assert_allclose(np.asarray(y3), np.asarray(y_ref3),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_spatial_model_train_step():
+    """Composed spatial x tensor x data parallel TRAINING on one
+    (data=2, model=2, spatial=2) mesh: params sharded over 'model'
+    (state_shardings), inputs H-sharded over 'spatial' and batch-sharded
+    over 'data', every conv halo-exchanged — 2-step loss trajectory
+    equals the unsharded run (VERDICT r3 #4)."""
+    from convkan_tpu.models import vggkan
+    from convkan_tpu.parallel.halo import set_spatial_defaults
+    from convkan_tpu.parallel.sharding import state_shardings
+    from convkan_tpu.train.loop import make_train_step
+    from convkan_tpu.train.state import create_train_state
+
+    model = vggkan(3, 10, arch="VGG16_kansmall", kan_conv="KAN",
+                   classifier_type="Linear", width_scale=0.25)
+    x0 = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    xb = np.random.RandomState(0).randint(0, 256, (8, 32, 32, 3), np.uint8)
+    yb = np.random.RandomState(1).randint(0, 10, (8,), np.int32)
+
+    state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                               steps_per_epoch=4)
+    step = make_train_step(model, "CIFAR10", augment=True)
+    losses_ref = []
+    for _ in range(2):
+        state, l = step(state, jax.random.PRNGKey(7), xb, yb)
+        losses_ref.append(float(l))
+
+    mesh = make_mesh(data=2, model=2, spatial=2)
+    prev = set_spatial_defaults(mesh, "spatial")
+    try:
+        state2 = create_train_state(model, jax.random.PRNGKey(0), x0,
+                                    steps_per_epoch=4)
+        st_sh = state_shardings(state2, mesh)
+        state2 = jax.device_put(state2, st_sh)
+        step2 = make_train_step(model, "CIFAR10", augment=True, mesh=mesh,
+                                state_shardings=st_sh)
+        losses = []
+        for _ in range(2):
+            state2, l = step2(state2, jax.random.PRNGKey(7), xb, yb)
+            losses.append(float(l))
+    finally:
+        set_spatial_defaults(*prev)
+    np.testing.assert_allclose(losses, losses_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_spatial_fsdp_train_step():
+    """Composed spatial x FSDP (ADVICE r3 #1): params + moments sharded
+    over 'data' (fsdp=True state shardings) while inputs are H-sharded
+    over 'spatial' and convs halo-exchange — trajectory parity vs the
+    unsharded run.  The weight enters the halo shard_map replicated
+    (in-spec gather), which IS the FSDP use-site all-gather semantics."""
+    from convkan_tpu.models import vggkan
+    from convkan_tpu.parallel.halo import set_spatial_defaults
+    from convkan_tpu.parallel.sharding import state_shardings
+    from convkan_tpu.train.loop import make_train_step
+    from convkan_tpu.train.state import create_train_state
+
+    model = vggkan(3, 10, arch="VGG16_kansmall", kan_conv="KAN",
+                   classifier_type="Linear", width_scale=0.25)
+    x0 = jnp.zeros((8, 32, 32, 3), jnp.float32)
+    xb = np.random.RandomState(0).randint(0, 256, (8, 32, 32, 3), np.uint8)
+    yb = np.random.RandomState(1).randint(0, 10, (8,), np.int32)
+
+    state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                               steps_per_epoch=4)
+    step = make_train_step(model, "CIFAR10", augment=True)
+    losses_ref = []
+    for _ in range(2):
+        state, l = step(state, jax.random.PRNGKey(7), xb, yb)
+        losses_ref.append(float(l))
+
+    mesh = make_mesh(data=4, model=1, spatial=2)
+    prev = set_spatial_defaults(mesh, "spatial")
+    try:
+        state2 = create_train_state(model, jax.random.PRNGKey(0), x0,
+                                    steps_per_epoch=4)
+        st_sh = state_shardings(state2, mesh, fsdp=True)
+        state2 = jax.device_put(state2, st_sh)
+        step2 = make_train_step(model, "CIFAR10", augment=True, mesh=mesh,
+                                state_shardings=st_sh)
+        losses = []
+        for _ in range(2):
+            state2, l = step2(state2, jax.random.PRNGKey(7), xb, yb)
+            losses.append(float(l))
+    finally:
+        set_spatial_defaults(*prev)
+    np.testing.assert_allclose(losses, losses_ref, rtol=2e-4, atol=2e-4)

@@ -515,10 +515,6 @@ def main(argv=None):
         logger.info("mesh: %s", mesh)
     elif spatial > 1 or args.mesh_model > 1 or (args.mesh_data or n_dev) > 1:
         tp = max(args.mesh_model, 1)
-        if tp > 1 and spatial > 1:
-            raise SystemExit(
-                "--mesh_model x --mesh_spatial is untested — pick one "
-                "(tensor-parallel output channels or halo-sharded planes)")
         data = args.mesh_data or n_dev // (spatial * tp)
         if data < 1 or data * spatial * tp > n_dev:
             raise SystemExit(
