@@ -26,6 +26,42 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+# --------------------------------------------------------- multi-process
+# Under `jax.distributed` training, N processes share the run directory.
+# The commit protocol must not race: exactly one process (0) writes and
+# swaps the symlink; every process synchronizes on the commit so a
+# subsequent restore on ANY process sees the committed version.  Sharded
+# arrays (FSDP/ZeRO over a multi-process mesh) are allgathered to host
+# numpy first — every process holds only its addressable shards, so a
+# bare device_get on process 0 would crash (or silently save a shard).
+
+def _is_multiprocess() -> bool:
+    return jax.process_count() > 1
+
+
+def _barrier(tag: str):
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(f"convkan-ckpt-{tag}")
+
+
+def _to_host(tree):
+    """device_get, allgathering any array whose shards span processes.
+    Collective when multi-process — every process must call this (they
+    all do: save_checkpoint is called symmetrically by the train loop)."""
+    if not _is_multiprocess():
+        return jax.device_get(tree)
+    from jax.experimental import multihost_utils
+
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def _path(root: str, name: str, kind: str) -> str:
     return os.path.abspath(os.path.join(root, f"{name}_{kind}"))
 
@@ -128,20 +164,50 @@ def save_checkpoint(root: str, name: str, kind: str, state,
     the live name never points at an in-flight write.  The payload is
     device_get'd either way, so the saved values are a consistent
     snapshot regardless of later state updates."""
-    os.makedirs(root, exist_ok=True)
     path = _path(root, name, kind)
     payload = {
-        "step": np.asarray(state.step),
-        "params": jax.device_get(state.params),
+        "step": np.asarray(jax.device_get(state.step)),
+        "params": _to_host(state.params),
         # optax states are NamedTuple pytrees; serialize to plain dicts and
         # restore against the live template (see restore_checkpoint)
-        "opt_state": fser.to_state_dict(jax.device_get(state.opt_state)),
-        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": fser.to_state_dict(_to_host(state.opt_state)),
+        "batch_stats": _to_host(state.batch_stats),
     }
     if getattr(state, "ema_params", None) is not None:
-        payload["ema_params"] = jax.device_get(state.ema_params)
+        payload["ema_params"] = _to_host(state.ema_params)
     if extra:
         payload["extra"] = extra
+    if _is_multiprocess():
+        # Process 0 owns the commit bookkeeping (version-dir choice,
+        # symlink swap, GC), but the Orbax save itself is COLLECTIVE:
+        # PyTreeCheckpointer.save runs its own sync_global_processes
+        # barriers and gates the actual writes to the primary host, so
+        # every process must call it with the same destination.  The
+        # version number is chosen on process 0 and broadcast (the local
+        # _VERSIONS caches could disagree after a partial failure).
+        # Saves are synchronous in this mode — the async overlap is a
+        # single-host optimization and a deferred cross-process symlink
+        # swap would need a second barrier inside a background thread.
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            os.makedirs(root, exist_ok=True)
+            _commit_pending(path)
+            dst0 = _next_version_dir(path)
+            _gc_stale_versions(path, keep=(dst0,))
+            ver = int(dst0.rsplit(".v", 1)[1])
+        else:
+            ver = 0
+        ver = int(multihost_utils.broadcast_one_to_all(np.int32(ver)))
+        dst = f"{path}.v{ver}"
+        ocp.PyTreeCheckpointer().save(dst, payload)
+        if jax.process_index() == 0:
+            _swap_into_place(path, dst)
+        # every process sees the committed symlink before any of them can
+        # issue a restore
+        _barrier(f"save-{name}-{kind}")
+        return path
+    os.makedirs(root, exist_ok=True)
     dst = _next_version_dir(path)
     if async_save:
         ckptr = _async_checkpointer(path)

@@ -52,17 +52,20 @@ def _single_process_losses():
     return losses
 
 
-def test_two_process_dp_matches_single(tmp_path):
+def _launch(tmp_path, tag, mode=None, ckpt_root=None):
+    """Run 2 cluster processes in the given worker mode; return their
+    parsed result dicts."""
     port = _free_port()
     procs, outs = [], []
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_ENABLE_X64"] = "0"  # worker runs f32 like production
+    extra = ([mode] if mode else []) + ([ckpt_root] if ckpt_root else [])
     for pid in range(2):
-        out = str(tmp_path / f"proc{pid}.json")
+        out = str(tmp_path / f"{tag}_proc{pid}.json")
         outs.append(out)
         procs.append(subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port), out],
+            [sys.executable, WORKER, str(pid), "2", str(port), out] + extra,
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=os.path.dirname(HERE)))
     logs = []
@@ -76,8 +79,11 @@ def test_two_process_dp_matches_single(tmp_path):
         logs.append(stdout)
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log}"
+    return [json.load(open(o)) for o in outs]
 
-    results = [json.load(open(o)) for o in outs]
+
+def test_two_process_dp_matches_single(tmp_path):
+    results = _launch(tmp_path, "plain")
     # both processes observe the same (replicated) loss
     np.testing.assert_allclose(results[0]["losses"], results[1]["losses"],
                                rtol=0, atol=1e-6)
@@ -87,3 +93,33 @@ def test_two_process_dp_matches_single(tmp_path):
     expected = _single_process_losses()
     np.testing.assert_allclose(results[0]["losses"], expected,
                                rtol=0, atol=5e-5)
+
+
+def test_two_process_checkpoint_save_kill_resume(tmp_path):
+    """Multi-process checkpoint correctness (VERDICT r3 #3): a 2-process
+    ZeRO-1 run (optimizer moments sharded ACROSS the processes — no
+    single process can address them all) trains 3 steps, saves through
+    the process-0-gated commit with a cross-process barrier, and the
+    cluster exits.  A freshly launched cluster restores and trains 3 more
+    steps; its losses must equal steps 3-5 of an unbroken 6-step run."""
+    ckpt_root = str(tmp_path / "ckpts")
+
+    full = _launch(tmp_path, "full6", mode="full6")
+    np.testing.assert_allclose(full[0]["losses"], full[1]["losses"],
+                               rtol=0, atol=1e-6)
+    assert len(full[0]["losses"]) == 6
+
+    first = _launch(tmp_path, "first", mode="ckpt_first",
+                    ckpt_root=ckpt_root)
+    np.testing.assert_allclose(first[0]["losses"],
+                               full[0]["losses"][:3], rtol=0, atol=5e-6)
+    # the committed checkpoint is a symlink to a fully-written version dir
+    link = os.path.join(ckpt_root, "mh_last")
+    assert os.path.islink(link) and os.path.isdir(os.path.realpath(link))
+
+    resumed = _launch(tmp_path, "resume", mode="ckpt_resume",
+                      ckpt_root=ckpt_root)
+    np.testing.assert_allclose(resumed[0]["losses"], resumed[1]["losses"],
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(resumed[0]["losses"],
+                               full[0]["losses"][3:], rtol=0, atol=5e-6)

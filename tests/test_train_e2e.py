@@ -265,6 +265,14 @@ def test_checkpoint_elastic_resharding(tmp_path):
     np.testing.assert_allclose(h6["train_loss"], h2["train_loss"],
                                rtol=2e-5, atol=2e-5)
 
+    # plain dp -> fsdp (ADVICE r3 #2): a replicated checkpoint restores
+    # into a params+moments data-sharded run with the same trajectory
+    _, h7 = run(2, False, str(tmp_path / "d"))
+    _, h8 = run(3, True, str(tmp_path / "d"), fsdp=True)
+    assert h8["train_loss"][:2] == h7["train_loss"]
+    np.testing.assert_allclose(h8["train_loss"], h2["train_loss"],
+                               rtol=2e-5, atol=2e-5)
+
 
 def test_zero1_full_loop_checkpoint_resume(tmp_path):
     """zero1 through the WHOLE loop: epoch training with data-sharded
