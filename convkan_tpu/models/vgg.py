@@ -172,6 +172,11 @@ class VGGKAN(nn.Module):
                 in_c = out_c
                 first = False
 
+        return self._apply_head(x, in_c, train)
+
+    def _apply_head(self, x, in_c: int, train: bool):
+        """Adaptive pool + flatten + the classifier menu — shared by the
+        sequential forward and the pipelined last stage."""
         x = adaptive_avg_pool(x, self.expected_feature_shape)
         x = x.reshape(x.shape[0], -1)
         feat = in_c * prod(self.expected_feature_shape)
@@ -218,12 +223,171 @@ class VGGKAN(nn.Module):
         return x
 
 
+def _vgg_builder(cls, input_channels: int, num_classes: int, **kwargs):
+    overrides = {k: kwargs.pop(k) for k in list(kwargs)
+                 if k.startswith("classifier_") and k != "classifier_type"}
+    field_names = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k: v for k, v in kwargs.items() if k in field_names}
+    return cls(input_channels=input_channels, num_classes=num_classes,
+               classifier_overrides=overrides, **kwargs)
+
+
 def vggkan(input_channels: int, num_classes: int, **kwargs) -> VGGKAN:
     """Builder with the reference's flag vocabulary (kan_vgg.py:307-343).
     `classifier_*` overrides are captured into classifier_overrides."""
-    overrides = {k: kwargs.pop(k) for k in list(kwargs)
-                 if k.startswith("classifier_") and k != "classifier_type"}
-    field_names = {f.name for f in dataclasses.fields(VGGKAN)}
-    kwargs = {k: v for k, v in kwargs.items() if k in field_names}
-    return VGGKAN(input_channels=input_channels, num_classes=num_classes,
-                  classifier_overrides=overrides, **kwargs)
+    return _vgg_builder(VGGKAN, input_channels, num_classes, **kwargs)
+
+
+def pipelined_vggkan(input_channels: int, num_classes: int, **kwargs):
+    """vggkan with GPipe stage partitioning — same flag vocabulary plus
+    mesh / pipe_axis / n_stages / n_microbatches (see PipelinedVGGKAN,
+    defined below)."""
+    return _vgg_builder(PipelinedVGGKAN, input_channels, num_classes,
+                        **kwargs)
+
+
+class _VGGStage(VGGKAN):
+    """One contiguous segment of a VGGKAN: `items` is a tuple of 'M'
+    (maxpool) or (in_c, out_c, first) conv entries; the last stage also
+    applies the classifier head.  Used by PipelinedVGGKAN — each stage is
+    a standalone module so its parameters form one pytree per pipe rank."""
+
+    items: Tuple = ()
+    with_head: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        in_c = self.input_channels
+        for it in self.items:
+            if it == "M":
+                x = max_pool(x, 2, 2)
+            else:
+                ic, out_c, first = it
+                x = self._conv_block(ic, out_c, first)(x, train=train)
+                in_c = out_c
+        if self.with_head:
+            return self._apply_head(x, in_c, train)
+        return x
+
+
+class PipelinedVGGKAN(VGGKAN):
+    """VGGKAN with its conv trunk stage-partitioned for GPipe pipeline
+    parallelism over a 'pipe' mesh axis (VERDICT r3 #5: heterogeneous-
+    stage pipelining for the CNN zoo).
+
+    The cfg items are split into `pipe` contiguous segments balanced by
+    conv FLOPs (H*W*in_c*out_c at each layer's resolution); the
+    classifier rides in the last stage.  Activations cross stage
+    boundaries flattened and zero-padded to the largest boundary
+    (parallel.pipeline.gpipe_hetero_apply); each device selects its
+    segment with lax.switch on its pipe rank; per-stage params replicate
+    (VGG16_small's params are small next to its activations — the
+    pipeline's win is activation locality, not param sharding).
+
+    With mesh=None (or a 1-wide pipe) the stages run sequentially —
+    numerically identical, which the tests assert.  Stateless norms only
+    (InstanceNorm — the VGG default); BatchNorm's mutable running stats
+    do not flow through shard_map stages."""
+
+    mesh: Any = None
+    pipe_axis: str = "pipe"
+    # stage count; 0 -> the mesh's pipe size (or 1 with no mesh).  Set it
+    # explicitly when a checkpoint must restore across mesh configs — the
+    # param tree structure (stage_0..stage_{S-1}) follows this number.
+    n_stages: int = 0
+    n_microbatches: int = 0  # 0 -> the mesh's pipe size
+
+    @property
+    def model_name(self) -> str:
+        return "Pipelined" + super().model_name
+
+    def _plan(self, H, W, S):
+        """Contiguous FLOP-balanced partition of the cfg items.  Returns
+        (segments: list of item-tuples, in_shapes: per-stage input
+        (H, W, C))."""
+        items, costs, shapes = [], [], []
+        in_c, first, h, w = self.input_channels, True, H, W
+        for v in cfgs[self.arch]:
+            shapes.append((h, w, in_c))
+            if v == "M":
+                items.append("M")
+                costs.append(h * w * in_c)  # pool cost ~ traffic
+                h, w = h // 2, w // 2
+            else:
+                out_c = int(v * self.width_scale)
+                items.append((in_c, out_c, first))
+                costs.append(h * w * in_c * out_c)
+                in_c, first = out_c, False
+        assert S <= len(items), f"{S} stages > {len(items)} layers"
+        total = sum(costs)
+        segments, in_shapes, start, acc = [], [], 0, 0
+        for i, c in enumerate(costs):
+            acc += c
+            rem_items = len(items) - (i + 1)
+            rem_segs = S - len(segments) - 1
+            if len(segments) < S - 1 and (
+                    acc >= total * (len(segments) + 1) / S
+                    or rem_items == rem_segs):
+                segments.append(tuple(items[start:i + 1]))
+                in_shapes.append(shapes[start])
+                start = i + 1
+        segments.append(tuple(items[start:]))
+        in_shapes.append(shapes[start])
+        return segments, in_shapes
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        import dataclasses as dc
+
+        from ..parallel.pipeline import gpipe_hetero_apply
+
+        assert x.shape[-1] == self.input_channels
+        pipe = (self.mesh.shape.get(self.pipe_axis, 1)
+                if self.mesh is not None else 1)
+        S = self.n_stages or max(pipe, 1)
+        assert pipe <= 1 or pipe == S, (
+            f"n_stages={S} must equal the '{self.pipe_axis}' axis size "
+            f"{pipe} when pipelining")
+        segments, in_shapes = self._plan(x.shape[1], x.shape[2], S)
+
+        base = {f.name: getattr(self, f.name)
+                for f in dc.fields(VGGKAN)
+                if f.name not in ("parent", "name")}
+        stages = [_VGGStage(items=seg, with_head=(i == S - 1), **base)
+                  for i, seg in enumerate(segments)]
+
+        params = []
+        for i, (st, shp) in enumerate(zip(stages, in_shapes)):
+            def init_fn(rng, st=st, shp=shp):
+                variables = st.init({"params": rng},
+                                    jnp.zeros((1,) + shp, jnp.float32),
+                                    train=False)
+                assert set(variables) == {"params"}, (
+                    "PipelinedVGGKAN needs stateless layers (InstanceNorm "
+                    f"norms); stage {list(variables)} carries mutable "
+                    "collections")
+                return variables["params"]
+            params.append(self.param(f"stage_{i}", init_fn))
+
+        import jax as _jax
+
+        key = (self.make_rng("dropout") if self.has_rng("dropout")
+               else _jax.random.PRNGKey(0))
+
+        def mk(st):
+            def f(p, k, h):
+                return st.apply({"params": p}, h, train=train,
+                                rngs={"dropout": k})
+            return f
+
+        if pipe <= 1:
+            h = x
+            for i, st in enumerate(stages):
+                h = mk(st)(params[i], _jax.random.fold_in(key, i), h)
+            return h
+        keys = _jax.random.split(key, S)
+        return gpipe_hetero_apply(
+            [mk(st) for st in stages], tuple(params), keys, x,
+            mesh=self.mesh, in_shapes=in_shapes,
+            out_shape=(self.num_classes,), pipe_axis=self.pipe_axis,
+            n_microbatches=self.n_microbatches)

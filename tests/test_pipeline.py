@@ -156,3 +156,126 @@ def test_pipeline_mesh_validation():
     ws = jnp.zeros((3, 4, 4))
     with pytest.raises(AssertionError, match="divisible"):
         gpipe_apply(lambda w, h: h, ws, jnp.zeros((8, 4)), mesh=mesh)
+
+
+# ------------------------------------------------- heterogeneous (round 4)
+def _pvgg(mesh, **kw):
+    from convkan_tpu.models.vgg import PipelinedVGGKAN
+
+    return PipelinedVGGKAN(3, 10, arch="VGG16_kansmall",
+                           kan_conv="ChebyKAN", classifier_type="Linear",
+                           dropout_linear=0.0, mesh=mesh, **kw)
+
+
+def test_hetero_pipeline_forward_parity():
+    """PipelinedVGGKAN over a 4-stage pipe mesh == the same 4-stage model
+    run sequentially, on identical params (heterogeneous GPipe:
+    flattened+padded boundary activations, lax.switch stage dispatch)."""
+    from convkan_tpu.parallel.pipeline import make_pipeline_mesh
+
+    mesh = make_pipeline_mesh(pipe=4, data=2)
+    seq = _pvgg(None, n_stages=4)
+    pip = _pvgg(mesh)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3),
+                          jnp.float32)
+    v = seq.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    assert sorted(v["params"].keys()) == [f"stage_{i}" for i in range(4)]
+    y0 = jax.jit(lambda v, x: seq.apply(v, x, train=False))(v, x)
+    y1 = jax.jit(lambda v, x: pip.apply(v, x, train=False))(v, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_hetero_pipeline_gradient_parity():
+    """Gradients through the heterogeneous pipeline (custom-VJP reverse
+    schedule with per-stage recompute) match the sequential model's —
+    every stage's params receive the same cotangents."""
+    from convkan_tpu.parallel.pipeline import make_pipeline_mesh
+
+    mesh = make_pipeline_mesh(pipe=4, data=2)
+    seq = _pvgg(None, n_stages=4)
+    pip = _pvgg(mesh)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3),
+                          jnp.float32)
+    y = jax.random.randint(jax.random.PRNGKey(2), (8,), 0, 10)
+    v = seq.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+
+    def loss(model):
+        def f(p):
+            logits = model.apply({"params": p}, x, train=False)
+            logp = jax.nn.log_softmax(logits)
+            return -jnp.mean(
+                jnp.take_along_axis(logp, y[:, None], axis=1))
+        return jax.jit(jax.grad(f))(v["params"])
+
+    g0, g1 = loss(seq), loss(pip)
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    assert flat1, "pipelined grads empty"
+    for path, leaf in flat0:
+        # absolute tolerance: the pipelined run reduces per-device partial
+        # grads over the data axis (psum) and recomputes stage forwards in
+        # bwd — a different f32 summation order than the single-device
+        # full-batch grad; observed spread ~1e-4 on O(1) cotangents
+        np.testing.assert_allclose(
+            np.asarray(flat1[path]), np.asarray(leaf), rtol=0, atol=1e-3,
+            err_msg=jax.tree_util.keystr(path))
+
+
+def test_hetero_pipeline_train_trajectory():
+    """2 AdamW steps of the pipelined VGG match the sequential model —
+    the e2e trajectory check VERDICT r3 #5 asked for."""
+    from convkan_tpu.parallel.pipeline import make_pipeline_mesh
+    from convkan_tpu.train.loop import make_train_step
+    from convkan_tpu.train.state import create_train_state
+
+    mesh = make_pipeline_mesh(pipe=4, data=2)
+    xb = np.random.RandomState(0).randint(0, 256, (8, 32, 32, 3), np.uint8)
+    yb = np.random.RandomState(1).randint(0, 10, (8,), np.int32)
+    x0 = jnp.zeros((8, 32, 32, 3), jnp.float32)
+
+    losses = {}
+    for name, model, m in (("seq", _pvgg(None, n_stages=4), None),
+                           ("pipe", _pvgg(mesh), mesh)):
+        state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                                   steps_per_epoch=4)
+        step = make_train_step(model, "CIFAR10", augment=False, mesh=m)
+        ls = []
+        for _ in range(2):
+            state, l = step(state, jax.random.PRNGKey(7), xb, yb)
+            ls.append(float(l))
+        losses[name] = ls
+    np.testing.assert_allclose(losses["pipe"], losses["seq"],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_hetero_pipeline_stage_balance():
+    """The FLOP-balanced partition is contiguous, exhaustive, and no
+    stage exceeds ~2x the mean conv load."""
+    m = _pvgg(None, n_stages=4)
+    segments, in_shapes = m._plan(32, 32, 4)
+    from convkan_tpu.models.vgg import cfgs
+
+    n_items = len(cfgs["VGG16_kansmall"])
+    assert sum(len(s) for s in segments) == n_items
+    assert len(segments) == 4 and all(len(s) > 0 for s in segments)
+    assert in_shapes[0] == (32, 32, 3)
+
+    def seg_cost(seg, shape):
+        h, w, c = shape
+        cost = 0
+        for it in seg:
+            if it == "M":
+                h, w = h // 2, w // 2
+            else:
+                ic, oc, _ = it
+                cost += h * w * ic * oc
+                c = oc
+        return cost
+
+    costs = []
+    shape = (32, 32, 3)
+    for seg, shp in zip(segments, in_shapes):
+        costs.append(seg_cost(seg, shp))
+    mean = sum(costs) / len(costs)
+    assert max(costs) <= 2.1 * mean, costs

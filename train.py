@@ -227,8 +227,26 @@ def build_model(args, input_shape, num_classes, expert_mesh=None,
     kan_norm = args.kan_norm_layer
 
     if args.model == "VGGKAN":
-        return vggkan(
+        kw = {}
+        builder = vggkan
+        if pipe_mesh is not None:
+            # heterogeneous-stage GPipe (models/vgg.PipelinedVGGKAN):
+            # conv trunk FLOP-partitioned over the 'pipe' axis.  The VGG
+            # norms must be stateless — force the InstanceNorm default
+            # rather than crash on BatchNorm running stats.
+            from convkan_tpu.models.vgg import pipelined_vggkan
+
+            if args.kan_norm_layer == "BatchNorm2d":
+                logging.getLogger("train").warning(
+                    "--mesh_pipe VGGKAN needs stateless norms; using "
+                    "InstanceNorm2d in place of BatchNorm2d")
+                norm = kan_norm = "InstanceNorm2d"
+            kw = dict(mesh=pipe_mesh,
+                      n_microbatches=args.pipe_microbatches)
+            builder = pipelined_vggkan
+        return builder(
             input_channels=input_shape[-1], num_classes=num_classes,
+            **kw,
             conv_type=args.conv_type,
             kan_conv=args.kan_conv if args.conv_type == "kanconv" else None,
             kan_classifier=(args.kan_classifier if args.classifier_type in
@@ -460,11 +478,12 @@ def main(argv=None):
 
     pipe_mesh = None
     if args.mesh_pipe > 1:
-        if args.model != "PipelinedKanMLP":
+        if args.model not in ("PipelinedKanMLP", "VGGKAN"):
             raise SystemExit(
-                "--mesh_pipe pipelines stage-stacked trunks — it applies "
-                "to --model PipelinedKanMLP only")
-        if args.pipe_stages % args.mesh_pipe:
+                "--mesh_pipe pipelines PipelinedKanMLP (stage-stacked "
+                "trunk) or VGGKAN (heterogeneous FLOP-balanced stages)")
+        if (args.model == "PipelinedKanMLP"
+                and args.pipe_stages % args.mesh_pipe):
             raise SystemExit(
                 f"--mesh_pipe {args.mesh_pipe} must divide "
                 f"--pipe_stages {args.pipe_stages}")
