@@ -71,6 +71,12 @@ def conv_nd(
     if cast_back:
         x = x.astype(jnp.bfloat16)
         w = w.astype(jnp.bfloat16)
+    from .s2d import s2d_conv2d, s2d_eligible
+
+    if s2d_eligible(ndim, stride, dilation, groups, w.shape[:ndim]):
+        # opt-in polyphase space-to-depth stride-2 path (ops/s2d.py)
+        y = s2d_conv2d(x, w, pad, dn, precision=precision)
+        return y.astype(out_dtype) if cast_back else y
     y = lax.conv_general_dilated(
         x,
         w,
