@@ -172,6 +172,21 @@ class FastKANLinear(nn.Module):
     spline_weight_init_scale: float = 0.1
     grid_override: Any = None
     param_dtype: Any = jnp.float32
+    # opt-in bf16 compute island on the SPLINE path (round 4 — the MLP
+    # analogue of KanConvND.island_bf16): cast the normalized input +
+    # grid + spline weights to bf16, so the wide (B, in*G) RBF basis and
+    # its autodiff cotangent move half the bytes and the contraction runs
+    # on the bf16 MXU path; result cast back to f32 before the base-path
+    # add.  NOT torch-bit-exact.  None = the process default shared with
+    # the convs (nn.kan_conv.set_perf_defaults(island_bf16=...)).
+    island_bf16: Any = None
+
+    @property
+    def _island_bf16_on(self) -> bool:
+        from .kan_conv import _PERF_DEFAULTS
+
+        return (_PERF_DEFAULTS["island_bf16"] if self.island_bf16 is None
+                else self.island_bf16)
 
     @nn.compact
     def __call__(self, x, train: bool = True, time_benchmark: bool = False):
@@ -189,17 +204,25 @@ class FastKANLinear(nn.Module):
             "spline_w",
             init_lib.trunc_normal(0.0, self.spline_weight_init_scale),
             (self.input_dim * self.num_grids, self.output_dim), self.param_dtype)
-        cols = rbf_cols(xn, grid, denom)
+        xs, ws = xn, spline_w
+        island = self._island_bf16_on and xn.dtype == jnp.float32
+        if island:
+            xs = xn.astype(jnp.bfloat16)
+            grid = grid.astype(jnp.bfloat16)
+            ws = spline_w.astype(jnp.bfloat16)
+        cols = rbf_cols(xs, grid, denom)
         if cols is not None:
             # degree-major fast path: lane-concat RBF columns + permuted
             # weight rows (avoids the (B, in, G) -> (B, in*G) interleave)
-            w_dm = spline_w.reshape(self.input_dim, len(cols),
-                                    self.output_dim)
+            w_dm = ws.reshape(self.input_dim, len(cols),
+                              self.output_dim)
             w_dm = jnp.swapaxes(w_dm, 0, 1).reshape(-1, self.output_dim)
             ret = jnp.concatenate(cols, axis=-1) @ w_dm
         else:
-            basis = rbf_basis(xn, grid, denom)  # (B, in, G)
-            ret = basis.reshape(x.shape[0], -1) @ spline_w
+            basis = rbf_basis(xs, grid, denom)  # (B, in, G)
+            ret = basis.reshape(x.shape[0], -1) @ ws
+        if island:
+            ret = ret.astype(jnp.float32)
         if self.use_base_update:
             # torch nn.Linear default init (kaiming_uniform a=sqrt(5) + bias)
             base_w = self.param(
