@@ -370,6 +370,69 @@ def measure_wavkan(batch=2048, steps=10, use_pallas="auto",
 
 
 # ------------------------------------------------------------ config 5
+def measure_efficientnetv2_224(batch=128, steps=5, arch="s", remat=True,
+                               island_bf16=False):
+    """KAN-EfficientNetV2 @224^2 train step — the other half of BASELINE
+    config 5 (models/kan_efficientnetv2.py:547).  FastKAN convs like the
+    MNv3 row; arch 's' is EffV2's canonical 224^2 config (the reference's
+    'kan_tiny' is a stem-stride-1 CIFAR config).  remat=True: the s-arch
+    basis-expanded autodiff temporaries exceed a v5e's HBM without it
+    (models/efficientnetv2.py:199-204)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convkan_tpu.models.efficientnetv2 import efficientnetv2_kan
+    from convkan_tpu.train.loop import make_train_step
+    from convkan_tpu.train.state import create_train_state
+
+    if island_bf16:
+        from convkan_tpu.nn.kan_conv import set_perf_defaults
+        prev = set_perf_defaults(island_bf16=True)
+    try:
+        model = efficientnetv2_kan(arch=arch, num_classes=10,
+                                   kan_conv="FastKAN", remat=remat)
+        x0 = jnp.zeros((batch, 224, 224, 3), jnp.float32)
+        state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                                   steps_per_epoch=100)
+        step = make_train_step(model, "CIFAR10", augment=False,
+                               imagenet=True)
+        rng = jax.random.PRNGKey(1)
+        xb = jnp.asarray(np.random.RandomState(0).randint(
+            0, 256, (batch, 224, 224, 3), dtype=np.uint8))
+        yb = jnp.asarray(np.random.RandomState(1).randint(
+            0, 10, (batch,), dtype=np.int32))
+        flops = _flops_of(step, state, rng, xb, yb)
+
+        def scan_steps(state, rng):
+            def body(s, i):
+                s, loss = step.__wrapped__(
+                    s, jax.random.fold_in(rng, i), xb, yb)
+                return s, loss
+            s, losses = jax.lax.scan(body, state, jnp.arange(steps))
+            return s, losses[-1]
+
+        scan_jit = jax.jit(scan_steps, donate_argnums=0)
+        holder = {"state": state}
+
+        def run_once():
+            holder["state"], loss = scan_jit(holder["state"], rng)
+            _sync(loss)
+
+        runs = _timed_windows(run_once, batch * steps, windows=3)
+    finally:
+        if island_bf16:
+            set_perf_defaults(**prev)
+    return {
+        "metric": f"kan_efficientnetv2_{arch}_224_train_throughput",
+        "unit": "images/sec/chip",
+        "value": round(statistics.median(runs), 2),
+        "runs": [round(r, 1) for r in runs],
+        "flops_per_step": flops,
+        "batch": batch,
+    }
+
+
 def measure_mobilenetv3_224(batch=256, steps=5):
     """KAN-MobileNetV3 small @224^2 train step (config 5, single chip —
     the dp-mesh variant is exercised by __graft_entry__.dryrun_multichip).
@@ -754,6 +817,19 @@ def main():
         out["device_kind"] = device_kind
         print(json.dumps(out))
         return
+    if "--effv2" in sys.argv:
+        # standalone EffV2-s @224^2 row (the second BASELINE config-5
+        # model; --island_bf16 for the opt-in bf16 island)
+        out = measure_efficientnetv2_224(
+            island_bf16="--island_bf16" in sys.argv)
+        if "--island_bf16" in sys.argv:
+            out["metric"] += "_islandbf16"
+        out.update(_mfu_fields(out["value"],
+                               out["flops_per_step"] / out["batch"],
+                               device_kind))
+        out["device_kind"] = device_kind
+        print(json.dumps(out))
+        return
     if "--wavkan" in sys.argv:
         # standalone config-4 row (A/B surface for the psi-bf16 island)
         out = measure_wavkan(island_bf16="--island_bf16" in sys.argv)
@@ -801,7 +877,13 @@ def main():
                          lambda: measure_wavkan(island_bf16=True)),
                         ("config5", measure_mobilenetv3_224),
                         ("config5_islandbf16",
-                         _with_island(measure_mobilenetv3_224))):
+                         _with_island(measure_mobilenetv3_224)),
+                        # the other half of BASELINE config 5 (VERDICT r3
+                        # #2): KAN-EfficientNetV2-s @224^2
+                        ("config5_effv2", measure_efficientnetv2_224),
+                        ("config5_effv2_islandbf16",
+                         lambda: measure_efficientnetv2_224(
+                             island_bf16=True))):
             try:
                 row = fn()
                 # every row carries tflops/mfu (VERDICT r2 #2), derived

@@ -71,11 +71,23 @@ def conv_nd(
     if cast_back:
         x = x.astype(jnp.bfloat16)
         w = w.astype(jnp.bfloat16)
-    from .s2d import s2d_conv2d, s2d_eligible
+    from .s2d import pad_oc_eligible, s2d_conv2d, s2d_eligible
 
     if s2d_eligible(ndim, stride, dilation, groups, w.shape[:ndim]):
         # opt-in polyphase space-to-depth stride-2 path (ops/s2d.py)
         y = s2d_conv2d(x, w, pad, dn, precision=precision)
+        return y.astype(out_dtype) if cast_back else y
+    if pad_oc_eligible(groups, w.shape[-1]):
+        # opt-in output-channel lane padding (ops/s2d.py): conv at the
+        # next 128-multiple, slice back — numerics-exact probe knob
+        oc = w.shape[-1]
+        target = -(-oc // 128) * 128
+        wp = jnp.pad(w, [(0, 0)] * (ndim + 1) + [(0, target - oc)])
+        y = lax.conv_general_dilated(
+            x, wp, window_strides=stride, padding=pad_spec,
+            lhs_dilation=(1,) * ndim, rhs_dilation=dilation,
+            dimension_numbers=dn, feature_group_count=1,
+            precision=precision)[..., :oc]
         return y.astype(out_dtype) if cast_back else y
     y = lax.conv_general_dilated(
         x,

@@ -47,6 +47,24 @@ def s2d_eligible(ndim, stride, dilation, groups, ks) -> bool:
             and all(k % 2 == 1 for k in ks))
 
 
+# ---------------------------------------------- output-channel lane pad
+# The second VERDICT r3 #2 remedy probe: zero-pad every dense conv's
+# output channels to the next 128-lane multiple and slice the result —
+# numerics-exact (padded channels are dead weight), measured on the 224^2
+# configs; see BENCH_NOTES.md round 4 for the verdict.
+_PAD_OC = {"on": False}
+
+
+def set_pad_oc(on: bool) -> bool:
+    prev = _PAD_OC["on"]
+    _PAD_OC["on"] = bool(on)
+    return prev
+
+
+def pad_oc_eligible(groups: int, out_ch: int) -> bool:
+    return _PAD_OC["on"] and groups == 1 and out_ch % 128 != 0
+
+
 def s2d_conv2d(x, w, padding, dn, precision=None):
     """x: (B, H, W, C); w: (kh, kw, C, O); padding: (ph, pw) symmetric.
     Equals conv_nd(..., stride=2) exactly (up to f32 summation order)."""

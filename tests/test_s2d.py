@@ -94,3 +94,27 @@ def test_s2d_whole_model_exact():
         set_s2d_stride2(prev)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pad_oc_exact():
+    """Output-channel lane padding (set_pad_oc) is numerics-exact and
+    leaves grouped convs untouched."""
+    from convkan_tpu.ops.s2d import set_pad_oc
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6), jnp.float32)
+    wt = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 6, 20),
+                           jnp.float32)
+    y0 = conv_nd(x, wt, ndim=2, stride=1, padding=1)
+    prev = set_pad_oc(True)
+    try:
+        y1 = conv_nd(x, wt, ndim=2, stride=1, padding=1)
+        wg = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 3, 20),
+                               jnp.float32)
+        yg0 = conv_nd(x, wg, ndim=2, stride=1, padding=1, groups=2)
+    finally:
+        set_pad_oc(prev)
+    assert y1.shape == y0.shape
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-5, atol=2e-5)
+    yg1 = conv_nd(x, wg, ndim=2, stride=1, padding=1, groups=2)
+    np.testing.assert_array_equal(np.asarray(yg0), np.asarray(yg1))

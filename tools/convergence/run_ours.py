@@ -1,0 +1,78 @@
+"""convkan_tpu leg of the convergence-parity artifact.
+
+Starts from the REFERENCE leg's exact initial weights (init_state.pt,
+migrated with utils.torch_compat.convert_vggkan) and runs the production
+training loop (train/loop.py train_and_test_models) on the same
+procedural dataset with the same recipe: AdamW lr=1e-3 wd=1e-3,
+ExponentialLR gamma=0.8, CE, batch 128, random crop(pad 4)+hflip +
+CIFAR-10 normalization (on device).  Saves per-epoch curves for
+comparison against the reference harness's (run_reference.py).
+
+Env: CONV_KAN (ChebyKAN | FastKAN), CONV_REF (the reference leg's output
+dir holding init_state.pt), CONV_OUT.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+DATA = os.environ.get("CONV_DATA", "/tmp/convergence_data.npz")
+REF = os.environ.get("CONV_REF", "/tmp/convergence_ref")
+OUTDIR = os.environ.get("CONV_OUT", "/tmp/convergence_tpu")
+EPOCHS = int(os.environ.get("CONV_EPOCHS", "10"))
+KAN_CONV = os.environ.get("CONV_KAN", "ChebyKAN")
+BATCH = 128
+
+
+def main():
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from convkan_tpu.models.vgg import vggkan
+    from convkan_tpu.train.data import ArrayDataset
+    from convkan_tpu.train.loop import train_and_test_models
+    from convkan_tpu.train.state import create_train_state
+    from convkan_tpu.utils.torch_compat import convert_vggkan
+
+    os.makedirs(OUTDIR, exist_ok=True)
+    d = np.load(DATA)
+    sd = {k: np.asarray(v.detach().numpy(), np.float32)
+          for k, v in torch.load(os.path.join(REF, "init_state.pt"),
+                                 map_location="cpu").items()}
+
+    model = vggkan(3, 10, kan_conv=KAN_CONV, classifier_type="Linear",
+                   arch="VGG16_small", dropout_linear=0.0)
+    x0 = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(42), x0,
+                               steps_per_epoch=len(d["x_train"]) // BATCH,
+                               learning_rate=1e-3, weight_decay=1e-3,
+                               gamma=0.8)
+    variables = convert_vggkan(
+        sd, model, {"params": state.params})
+    state = state.replace(params=variables["params"])
+
+    train_ds = ArrayDataset(d["x_train"], d["y_train"].astype(np.int32),
+                            10, augment=True)
+    test_ds = ArrayDataset(d["x_test"], d["y_test"].astype(np.int32),
+                           10, augment=False)
+    t0 = time.time()
+    _, history = train_and_test_models(
+        model, state, train_ds, test_ds, "CIFAR10", 10,
+        batch_size=BATCH, epochs=EPOCHS, seed=42, learning_rate=1e-3,
+        gamma=0.8, path=os.path.join(OUTDIR, "models"),
+        model_name=f"conv_{KAN_CONV}")
+    out = {k: [float(v) for v in vals] for k, vals in history.items()}
+    out["wall_s"] = time.time() - t0
+    out["epochs"], out["batch"], out["kan_conv"] = EPOCHS, BATCH, KAN_CONV
+    with open(os.path.join(OUTDIR, "curves.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("done", json.dumps({"accuracy": out.get("accuracy"),
+                              "wall_s": round(out["wall_s"], 1)}))
+
+
+if __name__ == "__main__":
+    main()
