@@ -872,6 +872,11 @@ def main():
 
         for key, fn in (("config1", measure_kanconv_micro),
                         ("config2", measure_fastkan_mlp),
+                        # round 4: the bf16 island now covers the MLP
+                        # spline path too (FastKANLinear.island_bf16) —
+                        # measured +31% on this row
+                        ("config2_islandbf16",
+                         _with_island(measure_fastkan_mlp)),
                         ("config4", measure_wavkan),
                         ("config4_islandbf16",
                          lambda: measure_wavkan(island_bf16=True)),

@@ -14,9 +14,13 @@ dir holding init_state.pt), CONV_OUT.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), "..", ".."))
 
 DATA = os.environ.get("CONV_DATA", "/tmp/convergence_data.npz")
 REF = os.environ.get("CONV_REF", "/tmp/convergence_ref")

@@ -125,6 +125,33 @@ def build_config1():
     return step, jnp.zeros(())
 
 
+def build_config2(batch=8192):
+    """bench.py measure_fastkan_mlp: FastKAN MLP [784,128,64,10] train
+    step (config 2) — for the per-bucket roofline audit (VERDICT r3 #6)."""
+    from convkan_tpu.factory.mlp_factory import MLP_KAN_FACTORY
+    from convkan_tpu.train.metrics import cross_entropy_loss
+    from convkan_tpu.train.state import create_train_state
+
+    model = MLP_KAN_FACTORY["FastKAN"]([784, 128, 64, 10])
+    x0 = jnp.zeros((batch, 28, 28, 1), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), x0,
+                               steps_per_epoch=100)
+    xb = jnp.asarray(np.random.RandomState(0).rand(batch, 28, 28, 1),
+                     jnp.float32)
+    yb = jnp.asarray(np.random.RandomState(1).randint(
+        0, 10, (batch,), dtype=np.int32))
+
+    def step(state, rng):
+        def loss_fn(p):
+            out = model.apply({"params": p}, xb, train=True,
+                              rngs={"dropout": rng})
+            return cross_entropy_loss(out, yb)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    return step, state
+
+
 def build_config3():
     from convkan_tpu.models.vgg import vggkan
     from convkan_tpu.train.loop import make_train_step
@@ -185,7 +212,7 @@ def parse_trace(trace_dir, steps):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("config", choices=["config1", "config3", "config4",
+    ap.add_argument("config", choices=["config1", "config2", "config3", "config4",
                                        "config4_island", "config4_pallas",
                                        "config5"])
     ap.add_argument("--batch", type=int, default=64)
@@ -193,7 +220,9 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
 
-    if args.config == "config4":
+    if args.config == "config2":
+        step, state = build_config2()
+    elif args.config == "config4":
         step, state = build_config4(False, batch=args.batch)
     elif args.config == "config4_island":
         step, state = build_config4(False, island_bf16=True)
