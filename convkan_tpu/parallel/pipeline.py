@@ -209,7 +209,9 @@ def gpipe_hetero_apply(stage_fns, params, keys, x, *, mesh: Mesh,
     stage_fns[i](params_i, key, h) -> h'; `keys` is a per-stage PRNG key
     array (S, 2) for in-stage dropout, folded with the microbatch index so
     the pattern is a pure function of (stage, microbatch).
-    Differentiable end-to-end (ppermute/switch transpose cleanly)."""
+    Differentiable end-to-end: ppermute transposes to the reverse shift,
+    and the stage dispatch carries a custom VJP (see the body comment —
+    plain switch autodiff cannot unify heterogeneous branch residuals)."""
     import numpy as np
 
     pipe = mesh.shape[pipe_axis]

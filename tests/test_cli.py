@@ -243,12 +243,13 @@ def test_cli_main_moe_expert_parallel(tmp_path):
 
 
 def test_cli_mesh_pipe_validation():
-    """--mesh_pipe: PipelinedKanMLP-only, must divide --pipe_stages, and
-    the per-data-shard batch must split into the GPipe microbatches."""
+    """--mesh_pipe: PipelinedKanMLP or VGGKAN only (round 4 added the
+    heterogeneous CNN path), must divide --pipe_stages, and the
+    per-data-shard batch must split into the GPipe microbatches."""
     base = ["--dataset", "MNIST", "--synthetic_data", "--synthetic_size",
             "64", "--epoch", "1", "--batch_size", "32"]
-    with pytest.raises(SystemExit, match="PipelinedKanMLP only"):
-        cli.main(["--model", "VGGKAN", "--arch", "VGG16_kansmall",
+    with pytest.raises(SystemExit, match="PipelinedKanMLP"):
+        cli.main(["--model", "AlexNetKAN", "--arch", "default",
                   "--mesh_pipe", "2"] + base)
     with pytest.raises(SystemExit, match="divide"):
         cli.main(["--model", "PipelinedKanMLP", "--pipe_stages", "3",
