@@ -371,7 +371,7 @@ def measure_wavkan(batch=2048, steps=10, use_pallas="auto",
 
 # ------------------------------------------------------------ config 5
 def measure_efficientnetv2_224(batch=128, steps=5, arch="s", remat=True,
-                               island_bf16=False):
+                               island_bf16=False, remat_policy=None):
     """KAN-EfficientNetV2 @224^2 train step — the other half of BASELINE
     config 5 (models/kan_efficientnetv2.py:547).  FastKAN convs like the
     MNv3 row; arch 's' is EffV2's canonical 224^2 config (the reference's
@@ -391,7 +391,8 @@ def measure_efficientnetv2_224(batch=128, steps=5, arch="s", remat=True,
         prev = set_perf_defaults(island_bf16=True)
     try:
         model = efficientnetv2_kan(arch=arch, num_classes=10,
-                                   kan_conv="FastKAN", remat=remat)
+                                   kan_conv="FastKAN", remat=remat,
+                                   remat_policy=remat_policy)
         x0 = jnp.zeros((batch, 224, 224, 3), jnp.float32)
         state = create_train_state(model, jax.random.PRNGKey(0), x0,
                                    steps_per_epoch=100)
@@ -430,10 +431,13 @@ def measure_efficientnetv2_224(batch=128, steps=5, arch="s", remat=True,
         "runs": [round(r, 1) for r in runs],
         "flops_per_step": flops,
         "batch": batch,
+        "remat": remat,
+        "remat_policy": remat_policy or "full",
     }
 
 
-def measure_mobilenetv3_224(batch=256, steps=5):
+def measure_mobilenetv3_224(batch=256, steps=5, remat=False,
+                            remat_policy=None):
     """KAN-MobileNetV3 small @224^2 train step (config 5, single chip —
     the dp-mesh variant is exercised by __graft_entry__.dryrun_multichip).
 
@@ -449,7 +453,8 @@ def measure_mobilenetv3_224(batch=256, steps=5):
     from convkan_tpu.train.state import create_train_state
 
     model = mobilenet_v3_kan("small", num_classes=10,
-                             kan_conv="FastKAN")
+                             kan_conv="FastKAN", remat=remat,
+                             remat_policy=remat_policy)
     x0 = jnp.zeros((batch, 224, 224, 3), jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(0), x0,
                                steps_per_epoch=100)
@@ -483,6 +488,8 @@ def measure_mobilenetv3_224(batch=256, steps=5):
         "runs": [round(r, 1) for r in runs],
         "flops_per_step": flops,
         "batch": batch,
+        "remat": remat,
+        "remat_policy": remat_policy or "full",
     }
 
 
@@ -817,13 +824,48 @@ def main():
         out["device_kind"] = device_kind
         print(json.dumps(out))
         return
+    def _flag_val(name, default=None, cast=str):
+        if name in sys.argv:
+            return cast(sys.argv[sys.argv.index(name) + 1])
+        return default
+
     if "--effv2" in sys.argv:
         # standalone EffV2-s @224^2 row (the second BASELINE config-5
-        # model; --island_bf16 for the opt-in bf16 island)
+        # model; --island_bf16 for the opt-in bf16 island; --batch /
+        # --remat_policy / --no_remat for the selective-remat A/B,
+        # VERDICT r4 #4)
         out = measure_efficientnetv2_224(
-            island_bf16="--island_bf16" in sys.argv)
+            batch=_flag_val("--batch", 128, int),
+            island_bf16="--island_bf16" in sys.argv,
+            remat="--no_remat" not in sys.argv,
+            remat_policy=_flag_val("--remat_policy"))
         if "--island_bf16" in sys.argv:
             out["metric"] += "_islandbf16"
+        out.update(_mfu_fields(out["value"],
+                               out["flops_per_step"] / out["batch"],
+                               device_kind))
+        out["device_kind"] = device_kind
+        print(json.dumps(out))
+        return
+    if "--mnv3" in sys.argv:
+        # standalone MNv3-small @224^2 row with the batch-ladder /
+        # selective-remat knobs (VERDICT r4 #3)
+        def run():
+            return measure_mobilenetv3_224(
+                batch=_flag_val("--batch", 256, int),
+                remat="--remat" in sys.argv or bool(
+                    _flag_val("--remat_policy")),
+                remat_policy=_flag_val("--remat_policy"))
+        if "--island_bf16" in sys.argv:
+            from convkan_tpu.nn.kan_conv import set_perf_defaults
+            prev = set_perf_defaults(island_bf16=True)
+            try:
+                out = run()
+            finally:
+                set_perf_defaults(**prev)
+            out["metric"] += "_islandbf16"
+        else:
+            out = run()
         out.update(_mfu_fields(out["value"],
                                out["flops_per_step"] / out["batch"],
                                device_kind))

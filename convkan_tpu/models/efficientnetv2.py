@@ -202,6 +202,10 @@ class EfficientNetV2KAN(nn.Module):
     # ~18% faster (measured 31.9 vs 37.7 ms/step, batch 16 224^2) — pass
     # remat=False there if memory allows.
     remat: bool = True
+    # selective-remat policy under remat=True (ops/remat_policy.py):
+    # None='full' (save nothing), 'except_basis' (recompute only the wide
+    # KAN basis tensors), 'dots', 'offload_basis' — VERDICT r4 #4 A/B
+    remat_policy: Any = None
     classifier_overrides: Mapping[str, Any] = dataclasses.field(
         default_factory=dict)
 
@@ -248,8 +252,11 @@ class EfficientNetV2KAN(nn.Module):
             degree=self.degree, norm_layer=self.norm_layer,
             kan_norm_layer=self.kan_norm_layer, affine=self.affine,
             replace_depthwise=self.replace_depthwise)
-        BlockCls = (nn.remat(_EffBlock, static_argnums=(2,)) if self.remat
-                    else _EffBlock)
+        from ..ops.remat_policy import resolve_remat_policy
+
+        BlockCls = (nn.remat(_EffBlock, static_argnums=(2,),
+                             policy=resolve_remat_policy(self.remat_policy))
+                    if self.remat else _EffBlock)
 
         total_blocks = sum(c.num_layers for c in settings)
         block_id = 0

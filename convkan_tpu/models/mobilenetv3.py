@@ -200,6 +200,10 @@ class MobileNetV3KAN(nn.Module):
     # (5.25k img/s there vs 4.83k with remat — recompute costs ~8%);
     # enable only for batch/resolution products that overflow HBM.
     remat: bool = False
+    # selective-remat policy under remat=True (ops/remat_policy.py) —
+    # lets batches past the b256 no-remat HBM edge trade only the wide
+    # KAN basis tensors for recompute ('except_basis')
+    remat_policy: Any = None
     classifier_overrides: Mapping[str, Any] = dataclasses.field(
         default_factory=dict)
 
@@ -268,8 +272,11 @@ class MobileNetV3KAN(nn.Module):
             norm_kwargs=dict(norm_kwargs),
             norm_extra=({"eps": 0.001, "momentum": 0.01}
                         if "eps" in norm_kwargs else {}))
-        BlockCls = (nn.remat(_MNV3Block, static_argnums=(2,)) if self.remat
-                    else _MNV3Block)
+        from ..ops.remat_policy import resolve_remat_policy
+
+        BlockCls = (nn.remat(_MNV3Block, static_argnums=(2,),
+                             policy=resolve_remat_policy(self.remat_policy))
+                    if self.remat else _MNV3Block)
         for cnf in cfgs:
             x = BlockCls(mc=mc, cnf=cnf)(x, train)
 

@@ -257,16 +257,17 @@ class _VGGStage(VGGKAN):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        in_c = self.input_channels
         for it in self.items:
             if it == "M":
                 x = max_pool(x, 2, 2)
             else:
                 ic, out_c, first = it
                 x = self._conv_block(ic, out_c, first)(x, train=train)
-                in_c = out_c
         if self.with_head:
-            return self._apply_head(x, in_c, train)
+            # channel width from the live tensor, not self.input_channels:
+            # a conv-free (pool-only) head segment would otherwise build
+            # the classifier at the whole-model input width (ADVICE r4 #1)
+            return self._apply_head(x, x.shape[-1], train)
         return x
 
 
@@ -371,7 +372,17 @@ class PipelinedVGGKAN(VGGKAN):
 
         import jax as _jax
 
-        key = (self.make_rng("dropout") if self.has_rng("dropout")
+        # Default to a constant key ONLY when no dropout can fire — with
+        # live dropout and no 'dropout' rng, silently reusing PRNGKey(0)
+        # would make masks identical across steps; let flax's make_rng
+        # raise the standard missing-rng error instead (ADVICE r4 #2).
+        head_p = self.dropout_linear
+        if self.classifier_overrides.get("classifier_dropout") is not None:
+            head_p = self.classifier_overrides["classifier_dropout"]
+        needs_rng = train and (
+            self.dropout > 0 or self.conv_dropout > 0 or head_p > 0)
+        key = (self.make_rng("dropout")
+               if self.has_rng("dropout") or needs_rng
                else _jax.random.PRNGKey(0))
 
         def mk(st):

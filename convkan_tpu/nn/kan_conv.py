@@ -758,6 +758,11 @@ class KanConvND(nn.Module):
                 if not base_folded:
                     flat_dm = jnp.concatenate([flat_dm, base_in], axis=-1)
                 pw = jnp.concatenate([pw, base_w], axis=-2)
+            # tag the wide basis tensor for selective-remat policies
+            # (ops/remat_policy.py 'except_basis'/'offload_basis'); free
+            # identity outside jax.checkpoint
+            from jax.ad_checkpoint import checkpoint_name
+            flat_dm = checkpoint_name(flat_dm, "kan_basis")
             if self._basis_bf16_on and flat_dm.dtype == jnp.float32:
                 # opt-in perf mode: store the materialized basis tensor
                 # (the step's dominant HBM traffic) in bf16; the MXU
@@ -795,7 +800,10 @@ class KanConvND(nn.Module):
             flat = self._channel_dropout(flat, train)
             basis = flat.reshape(basis.shape)
 
+        from jax.ad_checkpoint import checkpoint_name
+
         basis_flat = self._flatten_basis(basis)
+        basis_flat = checkpoint_name(basis_flat, "kan_basis")
         if self._basis_bf16_on and basis_flat.dtype == jnp.float32:
             # same opt-in bf16 basis storage as the degree-major fast
             # path above — previously silently ignored on this generic

@@ -105,11 +105,20 @@ def _exchange(x_loc, axis_name: str, n: int, halo: int, dim: int):
 
 
 def halo_conv_nd(mesh: Mesh, axis, x, w, *, ndim: int, stride=1, padding=1,
-                 dilation=1, groups: int = 1):
+                 dilation=1, groups: int = 1, tp: bool = None):
     """x: (B, *S, C) with any spatial dims sharded over `axis`;
     w: (*K, C_g, O).  Returns (B, *S_out, O) sharded the same way.
     `axis`: a mesh-axis name (first spatial dim) or an ndim-tuple of
-    names/None."""
+    names/None.
+
+    `tp`: whether the weight is output-channel-sharded over the mesh's
+    'model' axis.  None (default) infers from the mesh shape — correct for
+    the production path, where parallel.sharding.state_shardings TP-shards
+    every eligible weight whenever the mesh has a >1 'model' axis.  A
+    caller that runs REPLICATED weights on a mesh that also carries a
+    model axis must pass tp=False (or set_halo_tp(False)) — the inferred
+    spec would otherwise hand back a silently channel-sharded output
+    (ADVICE r4 #5)."""
     axes = _axes_tup(axis, ndim)
     ks = w.shape[:ndim]
     ss, ds = _tup(stride, ndim), _tup(dilation, ndim)
@@ -147,8 +156,15 @@ def halo_conv_nd(mesh: Mesh, axis, x, w, *, ndim: int, stride=1, padding=1,
     # by gathering (correct, just not TP-efficient).
     m_size = sizes.get("model", 1) if "model" not in used else 1
     O = w.shape[-1]
-    tp = (m_size > 1 and O >= 2 and O % m_size == 0
-          and (groups == 1 or groups % m_size == 0))
+    if tp is None:
+        tp = _TP_DEFAULT["tp"]
+    eligible = (m_size > 1 and O >= 2 and O % m_size == 0
+                and (groups == 1 or groups % m_size == 0))
+    if tp:
+        assert eligible, (
+            f"tp=True but the weight (O={O}, groups={groups}) cannot split "
+            f"over the {m_size}-wide 'model' axis")
+    tp = eligible if tp is None else bool(tp)
     if tp:
         w_spec = P(*(None,) * (ndim + 1), "model")
         x_chan = "model" if groups > 1 else None
@@ -218,6 +234,20 @@ def dispatch_conv(mesh, axis, x, w, *, ndim, stride=1, padding=0,
                             groups=groups)
     return conv_nd(x, w, ndim=ndim, stride=stride, padding=padding,
                    dilation=dilation, groups=groups)
+
+
+_TP_DEFAULT = {"tp": None}
+
+
+def set_halo_tp(tp):
+    """Process-wide override for halo_conv_nd's TP weight-sharding rule:
+    True = weights are 'model'-sharded, False = weights replicated (e.g.
+    an FSDP run on a mesh that also carries a model axis), None = infer
+    from the mesh shape (default; matches parallel.sharding's rule).
+    Returns the previous value."""
+    prev = _TP_DEFAULT["tp"]
+    _TP_DEFAULT["tp"] = tp
+    return prev
 
 
 _SPATIAL_DEFAULTS = {"mesh": None, "axis": "data"}

@@ -46,29 +46,50 @@ def _barrier(tag: str):
 
 
 def _to_host(tree):
-    """device_get, allgathering any array whose shards span processes.
-    Collective when multi-process — every process must call this (they
-    all do: save_checkpoint is called symmetrically by the train loop)."""
+    """Host snapshot for the SAVE payload.
+
+    Single-process: device_get (the async save path needs a host copy so
+    later state mutations cannot leak into an in-flight write).
+
+    Multi-process: leave jax.Arrays IN PLACE — Orbax's type handlers save
+    sharded arrays natively (each process writes only its addressable
+    shards via TensorStore, with its own cross-process sync), so
+    FSDP/ZeRO state costs O(local shards) host memory at checkpoint time
+    instead of the O(full params+moments)-per-host of the previous
+    process_allgather scheme (ADVICE r4 #4).  Multi-process saves are
+    synchronous, so no snapshot copy is needed."""
     if not _is_multiprocess():
         return jax.device_get(tree)
-    from jax.experimental import multihost_utils
-
-    def leaf(x):
-        if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            return np.asarray(
-                multihost_utils.process_allgather(x, tiled=True))
-        return jax.device_get(x)
-
-    return jax.tree_util.tree_map(leaf, tree)
+    return tree
 
 
 def _path(root: str, name: str, kind: str) -> str:
     return os.path.abspath(os.path.join(root, f"{name}_{kind}"))
 
 
-_ASYNC_CKPTRS: dict = {}  # target path -> AsyncCheckpointer
+_ASYNC_CKPTRS: dict = {}  # target path -> AsyncCheckpointer (LRU order)
 _VERSIONS: dict = {}      # target path -> last version number used
 _PENDING: dict = {}       # target path -> committed-version dir to swap in
+
+# Each AsyncCheckpointer owns a persistent background thread (plus
+# TensorStore resources).  A long multi-model run — or a test suite where
+# every test saves under a fresh tmp dir — would otherwise accumulate one
+# live thread pool PER TARGET PATH forever; measured: ~1 OS thread per
+# checkpointer, never freed.  That unbounded growth is the prime suspect
+# for the intermittent late-suite `Fatal Python error: Aborted` (resource
+# exhaustion after ~380 tests).  Cap the cache LRU-style and close
+# everything on wait_for_async_saves().
+_MAX_CACHED_CKPTRS = 4
+
+
+def _close_checkpointer(path: str):
+    """Drain + commit + release one cached AsyncCheckpointer."""
+    ckptr = _ASYNC_CKPTRS.pop(path, None)
+    if ckptr is None:
+        return
+    ckptr.wait_until_finished()
+    _commit_pending(path)
+    ckptr.close()
 
 
 def _async_checkpointer(path: str):
@@ -76,7 +97,11 @@ def _async_checkpointer(path: str):
     # same epoch then overlap each other AND the next epoch's compute
     # (a single global checkpointer would serialize them — the second
     # save would block the host on the first write)
-    if path not in _ASYNC_CKPTRS:
+    if path in _ASYNC_CKPTRS:
+        _ASYNC_CKPTRS[path] = _ASYNC_CKPTRS.pop(path)  # LRU bump
+    else:
+        while len(_ASYNC_CKPTRS) >= _MAX_CACHED_CKPTRS:
+            _close_checkpointer(next(iter(_ASYNC_CKPTRS)))
         _ASYNC_CKPTRS[path] = ocp.AsyncCheckpointer(
             ocp.PyTreeCheckpointHandler())
     return _ASYNC_CKPTRS[path]
@@ -143,10 +168,13 @@ def _commit_pending(path: str):
 
 def wait_for_async_saves():
     """Block until every pending async save has committed to disk and its
-    symlink swap is in place.  Call before restoring a checkpoint that may
-    still be in flight and at the end of training."""
-    for ckptr in _ASYNC_CKPTRS.values():
-        ckptr.wait_until_finished()
+    symlink swap is in place, then RELEASE the checkpointers (each holds a
+    live background thread — see _MAX_CACHED_CKPTRS).  Call before
+    restoring a checkpoint that may still be in flight and at the end of
+    training; a later async save transparently recreates its
+    checkpointer."""
+    for path in list(_ASYNC_CKPTRS):
+        _close_checkpointer(path)
     for path in list(_PENDING):
         _commit_pending(path)
 
@@ -232,13 +260,42 @@ def save_checkpoint(root: str, name: str, kind: str, state,
     return path
 
 
+def _numpy_restore_args(ckptr, path):
+    """RestoreArgs forcing sharding-bearing leaves back to host numpy.
+
+    Multi-process saves write sharded jax.Arrays natively (see _to_host);
+    their on-disk sharding metadata names the SAVING run's mesh, which a
+    restoring process on a different topology (fewer hosts, an elastic
+    dp→fsdp relaunch, an offline tool) cannot reconstruct — Orbax's
+    default restore then fails.  Restoring those leaves as np.ndarray is
+    topology-free; the caller reshards onto the live mesh (train loop
+    does a device_put onto the current state shardings).  Leaves saved
+    without sharding keep the default behavior.  Returns None (default
+    restore) when metadata is unreadable — e.g. pre-round-3 legacy dirs."""
+    try:
+        meta = ckptr.metadata(path)
+        tree = (meta.item_metadata.tree
+                if hasattr(meta, "item_metadata") else meta)
+
+        def leaf(m):
+            if getattr(m, "sharding", None) is not None:
+                return ocp.RestoreArgs(restore_type=np.ndarray)
+            return ocp.RestoreArgs()
+
+        return jax.tree_util.tree_map(leaf, tree)
+    except Exception:
+        return None
+
+
 def restore_checkpoint(root: str, name: str, kind: str, state=None):
     """Restore a checkpoint.  With a template `state`, returns an updated
     TrainState (full resume); otherwise returns the raw payload dict."""
     path = _path(root, name, kind)
     wait_for_async_saves()  # the target may still be in flight
     ckptr = ocp.PyTreeCheckpointer()
-    payload = ckptr.restore(os.path.realpath(path))
+    payload = ckptr.restore(os.path.realpath(path),
+                            restore_args=_numpy_restore_args(
+                                ckptr, os.path.realpath(path)))
     if state is None:
         return payload
     try:

@@ -1,4 +1,17 @@
+import faulthandler
 import os
+
+# Diagnosability for hard aborts (round-5, VERDICT r4 weak #1): a
+# `Fatal Python error` (SIGABRT from native code) bypasses pytest's
+# reporting and the terminal scrollback is all that survives.  Dump every
+# thread's frame to a persistent file as well, so any future abort leaves
+# the faulting test + stack on disk.  PYTHONFAULTHANDLER=1 propagates the
+# same to every subprocess the suite spawns (multihost workers, example
+# scripts, supervised children).
+_FH_LOG = open(os.environ.get("CONVKAN_FAULTHANDLER_LOG",
+                              "/tmp/convkan_suite_faulthandler.log"), "a")
+faulthandler.enable(file=_FH_LOG, all_threads=True)
+os.environ["PYTHONFAULTHANDLER"] = "1"
 
 # Hard override: the session environment pre-sets JAX_PLATFORMS=axon (the
 # remote-TPU tunnel), where eager per-op dispatch is network-bound.  Unit
@@ -28,14 +41,25 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def _cpu_fingerprint() -> str:
+    # Round 5: hashing the `flags` lines alone proved INSUFFICIENT —
+    # observed this round: a warm cache whose key matched this host's
+    # cpuinfo flags still tripped cpu_aot_loader errors ("Target machine
+    # feature +prefer-no-scatter is not supported on the host machine
+    # ... could lead to execution errors such as SIGILL").  LLVM target
+    # features like prefer-no-gather are derived from the CPU *model*
+    # (e.g. gather/scatter-mitigation tuning), not from cpuinfo flags,
+    # so two hosts with identical flag sets can produce incompatible AOT
+    # code.  The key now also hashes model name / family / model /
+    # stepping / microcode.
     import hashlib
 
     try:
+        keep = ("flags", "model name", "cpu family", "model", "stepping",
+                "microcode", "vendor_id")
         with open("/proc/cpuinfo") as f:
-            flags = sorted(
-                {ln.split(":", 1)[1].strip() for ln in f
-                 if ln.startswith("flags")})
-        return hashlib.sha1("".join(flags).encode()).hexdigest()[:12]
+            lines = sorted({ln.strip() for ln in f
+                            if ln.split(":", 1)[0].strip() in keep})
+        return hashlib.sha1("\n".join(lines).encode()).hexdigest()[:12]
     except OSError:
         return "nohost"
 

@@ -94,6 +94,87 @@ def _cnn_eval(mesh, outfile):
                        jax.device_get(cm)).sum())}, f)
 
 
+def _preempt_leg(mesh, outfile, mode, ckpt_root):
+    """Graceful-preemption coordination across jax.distributed processes
+    (VERDICT r4 #1): the REAL epoch loop (train_and_test_models) runs on
+    2 processes; a real SIGTERM is delivered to PROCESS 0 ONLY (maximum
+    delivery skew — process 1 never sees the signal and only learns via
+    the per-batch cross-process agreement in loop._preempt_agreed).  Both
+    processes must then enter the COLLECTIVE save_checkpoint at the same
+    step (mismatched collectives would deadlock the cluster through its
+    grace window) and exit 75.
+
+    Modes:
+      pre_control      — unbroken 3-epoch run; dump history.
+      pre_sig_boundary — SIGTERM(proc 0) right after epoch 0's last train
+                         batch: the preempt fires at the epoch boundary,
+                         so the resumed run's losses must EQUAL the
+                         control's (state is exactly end-of-epoch-0).
+      pre_sig_mid      — SIGTERM(proc 0) mid-epoch-1 (after 2 of 4
+                         batches): exercises the batch-boundary agreement.
+      pre_resume       — relaunched cluster resumes and completes.
+    """
+    import os
+    import signal
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from convkan_tpu.factory.mlp_factory import MLP_KAN_FACTORY
+    from convkan_tpu.train import loop as loop_mod
+    from convkan_tpu.train.data import ArrayDataset
+    from convkan_tpu.train.loop import (TrainingPreempted,
+                                        train_and_test_models)
+    from convkan_tpu.train.state import create_train_state
+
+    rs = np.random.RandomState(7)
+    xtr = rs.randint(0, 256, (256, 8, 8, 1), dtype=np.uint8)
+    ytr = rs.randint(0, 4, (256,), dtype=np.int32)
+    xte = rs.randint(0, 256, (64, 8, 8, 1), dtype=np.uint8)
+    yte = rs.randint(0, 4, (64,), dtype=np.int32)
+    train_ds = ArrayDataset(xtr, ytr, 4, augment=False)
+    test_ds = ArrayDataset(xte, yte, 4, augment=False)
+
+    steps_per_epoch = 256 // 64  # 4
+    if mode in ("pre_sig_boundary", "pre_sig_mid"):
+        # self-SIGTERM on process 0 after the n-th train batch — a real
+        # signal through the real handler, deterministically placed; the
+        # skew is total (process 1 is never signalled)
+        n_trigger = (steps_per_epoch if mode == "pre_sig_boundary"
+                     else steps_per_epoch + 2)
+        real = loop_mod.prefetch_batches
+        seen = {"train": 0}
+
+        def wrapper(it, **kw):
+            for item in real(it, **kw):
+                yield item
+                if len(item) == 2 and jax.process_index() == 0:
+                    seen["train"] += 1
+                    if seen["train"] == n_trigger:
+                        os.kill(os.getpid(), signal.SIGTERM)
+
+        loop_mod.prefetch_batches = wrapper
+
+    model = MLP_KAN_FACTORY["KAN"]([64, 16, 4])
+    state = create_train_state(model, jax.random.PRNGKey(1),
+                               jnp.zeros((2, 8, 8, 1), jnp.float32),
+                               steps_per_epoch=steps_per_epoch)
+    try:
+        _, history = train_and_test_models(
+            model, state, train_ds, test_ds, "MNIST", 4, batch_size=64,
+            epochs=3, mesh=mesh, path=ckpt_root, model_name="pre",
+            resume=(mode == "pre_resume"), async_checkpoints=False)
+    except TrainingPreempted as e:
+        with open(outfile, "w") as f:
+            json.dump({"preempted_epoch": e.epoch}, f)
+        jax.distributed.shutdown()
+        sys.exit(75)
+    with open(outfile, "w") as f:
+        json.dump({k: [float(v) for v in vals]
+                   for k, vals in history.items()}, f)
+
+
 def main():
     pid, nprocs, port, outfile = (int(sys.argv[1]), int(sys.argv[2]),
                                   sys.argv[3], sys.argv[4])
@@ -135,17 +216,27 @@ def main():
         jax.distributed.shutdown()
         return
 
+    if mode.startswith("pre_"):
+        _preempt_leg(mesh, outfile, mode, ckpt_root)
+        jax.distributed.shutdown()
+        return
+
     model = MLP_KAN_FACTORY["KAN"]([64, 16, 4])
 
     x0 = jnp.zeros((8, 8, 8, 1), jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(1), x0,
                                steps_per_epoch=4)
 
-    zero1 = mode in ("full6", "ckpt_first", "ckpt_resume")
-    st_sh = state_shardings(state, mesh, zero1=zero1) if zero1 else None
+    # fsdp_* modes shard the PARAMS (and EMA) across processes too — the
+    # save path must then write non-addressable param shards, not just
+    # moments (VERDICT r4 #7)
+    fsdp = mode in ("fsdp_first", "fsdp_resume")
+    zero1 = mode in ("full6", "ckpt_first", "ckpt_resume") or fsdp
+    st_sh = (state_shardings(state, mesh, zero1=zero1, fsdp=fsdp)
+             if zero1 else None)
     if zero1:
-        # reshard the (replicated) fresh state: ZeRO-1 moments distribute
-        # over 'data', i.e. ACROSS the two processes
+        # reshard the (replicated) fresh state: ZeRO-1 moments (and FSDP
+        # params) distribute over 'data', i.e. ACROSS the two processes
         state = jax.jit(lambda s: s, out_shardings=st_sh)(state)
     step = make_train_step(model, "MNIST", augment=False, mesh=mesh,
                            state_shardings=st_sh)
@@ -155,12 +246,12 @@ def main():
     rs = np.random.RandomState(0)
     batches = [(rs.randint(0, 256, (8, 8, 8, 1), dtype=np.uint8),
                 rs.randint(0, 4, (8,), dtype=np.int32)) for _ in range(6)]
-    if mode in ("plain", "ckpt_first"):
+    if mode in ("plain", "ckpt_first", "fsdp_first"):
         batches = batches[:3]
-    elif mode == "ckpt_resume":
+    elif mode in ("ckpt_resume", "fsdp_resume"):
         batches = batches[3:]
 
-    if mode == "ckpt_resume":
+    if mode in ("ckpt_resume", "fsdp_resume"):
         state, _extra = restore_checkpoint(ckpt_root, "mh", "last", state)
         # the restored leaves are host numpy; reshard to the live specs
         state = jax.jit(lambda s: s, out_shardings=st_sh)(state)
@@ -177,12 +268,20 @@ def main():
         state, loss = step(state, rng, xb, yb)
         losses.append(float(jax.device_get(loss)))
 
-    if mode == "ckpt_first":
+    if mode in ("ckpt_first", "fsdp_first"):
         # sanity: the moments really are non-addressable on this process
         assert any(
             isinstance(x, jax.Array) and not x.is_fully_addressable
             for x in jax.tree_util.tree_leaves(state.opt_state)), (
             "ZeRO-1 moments should span processes in this scenario")
+        if mode == "fsdp_first":
+            # FSDP: the PARAMS themselves span processes — the save path
+            # writes non-addressable param shards (each process only its
+            # own, via Orbax's native sharded-array driver)
+            assert any(
+                isinstance(x, jax.Array) and not x.is_fully_addressable
+                for x in jax.tree_util.tree_leaves(state.params)), (
+                "FSDP params should span processes in this scenario")
         save_checkpoint(ckpt_root, "mh", "last", state)
 
     with open(outfile, "w") as f:

@@ -151,6 +151,34 @@ def test_async_snapshot_is_consistent(tmp_path):
         before, payload["params"])
 
 
+def test_async_checkpointers_do_not_accumulate(tmp_path):
+    """Resource-leak regression (round-5 suite-abort class): every
+    AsyncCheckpointer pins a live background thread until closed, and the
+    per-path cache used to grow without bound — one leaked thread pool per
+    checkpoint directory ever touched (hundreds across a test suite or a
+    many-model sweep), ending in pthread/alloc exhaustion and a hard
+    `Fatal Python error: Aborted`.  The cache is now LRU-capped and
+    wait_for_async_saves() closes everything it drained."""
+    import threading
+
+    state = _tiny_state()
+    base_threads = threading.active_count()
+    for i in range(3 * ckpt_lib._MAX_CACHED_CKPTRS):
+        ckpt_lib.save_checkpoint(str(tmp_path / f"run{i}"), "m", "last",
+                                 state, extra={"epoch": i},
+                                 async_save=True)
+        assert len(ckpt_lib._ASYNC_CKPTRS) <= ckpt_lib._MAX_CACHED_CKPTRS
+    ckpt_lib.wait_for_async_saves()
+    assert len(ckpt_lib._ASYNC_CKPTRS) == 0
+    # every background thread was released (not merely parked)
+    assert threading.active_count() <= base_threads + 1
+    # the LRU evictions committed their symlinks: every run restorable
+    for i in range(3 * ckpt_lib._MAX_CACHED_CKPTRS):
+        payload = ckpt_lib.restore_checkpoint(str(tmp_path / f"run{i}"),
+                                              "m", "last")
+        assert payload["extra"]["epoch"] == i
+
+
 def test_stale_crash_leftovers_are_garbage_collected(tmp_path):
     """A run killed mid-save leaves unswapped {name}.vN dirs (and possibly
     a .link temp); the next run's first save must clean them up instead of

@@ -27,6 +27,10 @@ REF = os.environ.get("CONV_REF", "/tmp/convergence_ref")
 OUTDIR = os.environ.get("CONV_OUT", "/tmp/convergence_tpu")
 EPOCHS = int(os.environ.get("CONV_EPOCHS", "10"))
 KAN_CONV = os.environ.get("CONV_KAN", "ChebyKAN")
+# CONV_ISLAND=1: train with the opt-in bf16 basis island (the +18-31%
+# throughput lever) — the island-vs-exact epoch-scale evidence VERDICT
+# r4 #6 asked for.  Curves land in a separate CONV_OUT.
+ISLAND = os.environ.get("CONV_ISLAND", "") == "1"
 BATCH = 128
 
 
@@ -43,6 +47,9 @@ def main():
     from convkan_tpu.utils.torch_compat import convert_vggkan
 
     os.makedirs(OUTDIR, exist_ok=True)
+    if ISLAND:
+        from convkan_tpu.nn.kan_conv import set_perf_defaults
+        set_perf_defaults(island_bf16=True)
     d = np.load(DATA)
     sd = {k: np.asarray(v.detach().numpy(), np.float32)
           for k, v in torch.load(os.path.join(REF, "init_state.pt"),

@@ -81,13 +81,16 @@ def build_config4(use_pallas, island_bf16=False, batch=256):
     return step, state
 
 
-def build_config5(batch, remat):
+def build_config5(batch, remat, island=False, remat_policy=None):
     from convkan_tpu.models.mobilenetv3 import mobilenet_v3_kan
     from convkan_tpu.train.loop import make_train_step
     from convkan_tpu.train.state import create_train_state
 
+    if island:
+        from convkan_tpu.nn.kan_conv import set_perf_defaults
+        set_perf_defaults(island_bf16=True)  # process-wide for this tool
     model = mobilenet_v3_kan("small", num_classes=10, kan_conv="FastKAN",
-                             remat=remat)
+                             remat=remat, remat_policy=remat_policy)
     x0 = jnp.zeros((batch, 224, 224, 3), jnp.float32)
     state = create_train_state(model, jax.random.PRNGKey(0), x0,
                                steps_per_epoch=100)
@@ -195,18 +198,30 @@ def parse_trace(trace_dir, steps):
             if "TPU" in nm or "/device" in nm.lower() or "Chip" in nm:
                 dev_pids.add(e["pid"])
     by_name = defaultdict(float)
+    by_bytes = defaultdict(float)
     total = 0.0
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
             dur = e.get("dur", 0) / 1e3  # us -> ms
-            by_name[e.get("name", "?")] += dur
+            name = e.get("name", "?")
+            by_name[name] += dur
             total += dur
+            # XLA annotates per-op HBM traffic; effective GB/s =
+            # bytes/duration vs the chip's ~819 GB/s (v5e) peak is the
+            # per-bucket roofline verdict column (BENCH_NOTES standard)
+            try:
+                by_bytes[name] += float(
+                    (e.get("args") or {}).get("bytes_accessed", 0))
+            except (TypeError, ValueError):
+                pass
     rows = sorted(by_name.items(), key=lambda kv: -kv[1])
     print(f"\ndevice total: {total / steps:.3f} ms/step "
           f"({len(dev_pids)} device tracks, file {os.path.basename(path)})")
+    print(f"  {'ms/step':>8}  {'%':>5}  {'GB/s':>6}  op")
     for name, ms in rows[:30]:
-        print(f"  {ms / steps:8.3f} ms/step  {100 * ms / total:5.1f}%  "
-              f"{name[:90]}")
+        gbps = (by_bytes[name] / (ms * 1e-3) / 1e9) if ms > 0 else 0.0
+        print(f"  {ms / steps:8.3f}  {100 * ms / total:5.1f}  "
+              f"{gbps:6.0f}  {name[:86]}")
     return rows
 
 
@@ -214,9 +229,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("config", choices=["config1", "config2", "config3", "config4",
                                        "config4_island", "config4_pallas",
-                                       "config5"])
+                                       "config5", "config5_island"])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--remat_policy", default=None)
     ap.add_argument("--steps", type=int, default=10)
     args = ap.parse_args()
 
@@ -229,7 +245,13 @@ def main():
     elif args.config == "config4_pallas":
         step, state = build_config4(True)
     elif args.config == "config5":
-        step, state = build_config5(args.batch, args.remat)
+        step, state = build_config5(
+            args.batch, args.remat or bool(args.remat_policy),
+            remat_policy=args.remat_policy)
+    elif args.config == "config5_island":
+        step, state = build_config5(
+            args.batch, args.remat or bool(args.remat_policy), island=True,
+            remat_policy=args.remat_policy)
     elif args.config == "config1":
         step, state = build_config1()
     else:

@@ -236,7 +236,11 @@ def build_model(args, input_shape, num_classes, expert_mesh=None,
             # rather than crash on BatchNorm running stats.
             from convkan_tpu.models.vgg import pipelined_vggkan
 
-            if args.kan_norm_layer == "BatchNorm2d":
+            # either norm flag can route BatchNorm into the trunk
+            # (norm_layer drives conv_type=conv blocks, kan_norm_layer the
+            # KAN blocks) — apply the same graceful override to both
+            # (ADVICE r4 #3)
+            if "BatchNorm2d" in (args.kan_norm_layer, args.norm_layer):
                 logging.getLogger("train").warning(
                     "--mesh_pipe VGGKAN needs stateless norms; using "
                     "InstanceNorm2d in place of BatchNorm2d")
