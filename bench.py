@@ -436,7 +436,7 @@ def measure_efficientnetv2_224(batch=128, steps=5, arch="s", remat=True,
     }
 
 
-def measure_mobilenetv3_224(batch=256, steps=5, remat=False,
+def measure_mobilenetv3_224(batch=512, steps=5, remat=False,
                             remat_policy=None):
     """KAN-MobileNetV3 small @224^2 train step (config 5, single chip —
     the dp-mesh variant is exercised by __graft_entry__.dryrun_multichip).

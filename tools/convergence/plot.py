@@ -27,12 +27,18 @@ def main():
     for r, fname in enumerate(files):
         d = json.load(open(os.path.join(OUT, fname)))
         epochs = list(range(1, d["epochs"] + 1))
+        # left series label from the wall_s key (the island file's left
+        # series is our exact-f32 run, not the torch reference)
+        ref_key = [k for k in d.get("wall_s", {}) if k != "convkan_tpu"]
+        ref_label = (ref_key[0].replace("_", " ") if ref_key
+                     else "reference (torch)")
+        tag = fname[len("curves_"):-len(".json")]
         for c, (key, title) in enumerate(
                 (("accuracy", "test accuracy"),
                  ("train_loss", "train loss"))):
             ax = axes[r][c]
             for src, color, ls, label in (
-                    ("reference", BLUE, "-", "reference (torch)"),
+                    ("reference", BLUE, "-", ref_label),
                     ("convkan_tpu", ORANGE, "--", "convkan_tpu")):
                 ys = d[src][key][:len(epochs)]
                 ax.plot(epochs[:len(ys)], ys, color=color, ls=ls, lw=2,
@@ -40,8 +46,7 @@ def main():
                 ax.annotate(f"{ys[-1]:.3f}", (len(ys), ys[-1]),
                             textcoords="offset points", xytext=(4, 0),
                             color=color, fontsize=8, va="center")
-            ax.set_title(f"{d['family']} — {title}", fontsize=10,
-                         color=INK)
+            ax.set_title(f"{tag} — {title}", fontsize=10, color=INK)
             ax.set_xlabel("epoch", fontsize=9, color=MUTED)
             ax.grid(True, color="#eeeeee", lw=0.6)
             for s in ("top", "right"):

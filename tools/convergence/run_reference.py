@@ -38,7 +38,40 @@ EPOCHS = int(os.environ.get("CONV_EPOCHS", "10"))
 # the convkan_tpu leg reproduces as pathology-parity.  CONV_KAN=FastKAN
 # provides the learning-dynamics comparison.
 KAN_CONV = os.environ.get("CONV_KAN", "ChebyKAN")
+# CONV_AUG=0 + CONV_SEED: identical-batch-sequence mode (round 5) — no
+# augmentation, and the DataLoader is driven by a sampler that replays
+# convkan_tpu's exact shuffle rule (np.random.RandomState(seed+epoch)
+# over arange(n), last partial batch dropped — train/data.py
+# epoch_batches), so both harnesses consume bit-identical batches and
+# the per-epoch gap isolates numeric/optimizer drift.
+AUG = os.environ.get("CONV_AUG", "1") == "1"
+SEED = int(os.environ.get("CONV_SEED", "42"))
+# CONV_LR: the recipe's AdamW lr (default = the reference's 1e-3).  The
+# WavKAN informative-regime pair uses a tuned lr — VGG16_small+WavKAN is
+# a non-learner at 1e-3 (loss pins at ln 10; pathology documented in
+# results/convergence/SUMMARY_hard.md).
+LR = float(os.environ.get("CONV_LR", "1e-3"))
 BATCH = 128
+
+
+class _MatchedOrderSampler:
+    """Replays convkan_tpu's per-epoch shuffle: RandomState(seed+epoch)
+    over arange(n), truncated to full batches (drop_last)."""
+
+    def __init__(self, n, batch, seed):
+        self.n, self.batch, self.seed = n, batch, seed
+        self.epoch = 0
+
+    def __len__(self):
+        return (self.n // self.batch) * self.batch
+
+    def __iter__(self):
+        idx = np.arange(self.n)
+        np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        self.epoch += 1
+        return iter(idx[: (self.n // self.batch) * self.batch].tolist())
+
+
 MEAN = torch.tensor([0.4914, 0.4822, 0.4465]).view(3, 1, 1)
 STD = torch.tensor([0.2470, 0.2435, 0.2616]).view(3, 1, 1)
 
@@ -52,7 +85,7 @@ class _Cifar(Dataset):
 
     def __getitem__(self, i):
         img = torch.from_numpy(self.x[i]).permute(2, 0, 1).float() / 255.0
-        if self.train:
+        if self.train and AUG:
             img = torch.nn.functional.pad(img, (4, 4, 4, 4))
             r, c = torch.randint(0, 9, (2,))
             img = img[:, r:r + 32, c:c + 32]
@@ -69,13 +102,19 @@ def main():
                    arch="VGG16_small", dropout_linear=0.0)
     torch.save(model.state_dict(), os.path.join(OUTDIR, "init_state.pt"))
 
-    train_loader = DataLoader(_Cifar(d["x_train"], d["y_train"], True),
-                              batch_size=BATCH, shuffle=True,
-                              generator=torch.Generator().manual_seed(42))
+    if AUG:
+        train_loader = DataLoader(_Cifar(d["x_train"], d["y_train"], True),
+                                  batch_size=BATCH, shuffle=True,
+                                  generator=torch.Generator().manual_seed(42))
+    else:
+        train_loader = DataLoader(
+            _Cifar(d["x_train"], d["y_train"], True), batch_size=BATCH,
+            sampler=_MatchedOrderSampler(len(d["x_train"]), BATCH, SEED),
+            drop_last=True)
     test_loader = DataLoader(_Cifar(d["x_test"], d["y_test"], False),
                              batch_size=256, shuffle=False)
 
-    opt = torch.optim.AdamW(model.parameters(), lr=1e-3, weight_decay=1e-3)
+    opt = torch.optim.AdamW(model.parameters(), lr=LR, weight_decay=1e-3)
     sched = torch.optim.lr_scheduler.ExponentialLR(opt, gamma=0.8)
     t0 = time.time()
     (tr_loss, te_loss, te_acc, te_prec, te_rec, te_f1, lrs,
